@@ -1,0 +1,71 @@
+"""Coarse carrier-frequency estimation via the fold-spectrum method.
+
+Block equivalent of CoarseFreqEstimate (ref: decode/coarsefreqestimate.cpp:
+89-150): low-pass the baseband in the frequency domain, square the signal to
+expose the two MSK/OQPSK tones at 2*df +- fb/2, take a dB spectrum smoothed
+across blocks, then fold at the expected +-fb/2 tone spacing and pick the
+strongest fold inside the locking bandwidth.
+
+Everything is dense FFT/elementwise work batched over the leading (VFO) axes.
+Sign convention: input is baseband after mixing by exp(-2j pi f_c n); the
+returned estimate is the residual offset of the signal (add it to f_c).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def coarse_freq_init(nfft: int, batch_shape=()):
+    """Smoothed-dB-spectrum carry, flooded high like bigchange()
+    (ref: coarsefreqestimate.cpp:83-87)."""
+    return jnp.full(batch_shape + (nfft,), 20.0, jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("nfft", "fb", "fs", "lockingbw"))
+def coarse_freq_estimate(y_state, x, *, nfft: int, fb: float, fs: float,
+                         lockingbw: float):
+    """x: complex baseband [..., T] with T >= nfft (first nfft samples used).
+
+    Returns (new_y_state, freq_offset_hz [...]).
+    """
+    x = x[..., :nfft]
+    hzperbin = fs / nfft
+    startbin = max(int(round(lockingbw / hzperbin)), 1)
+    epb = int(round(fb / (2.0 * hzperbin)))
+
+    X = jnp.fft.fft(x, axis=-1)
+    # brick-wall low-pass: zero bins [startbin, nfft-startbin]
+    # (ref: coarsefreqestimate.cpp:99-101)
+    bins = jnp.arange(nfft)
+    keep = (bins < startbin) | (bins > nfft - startbin)
+    X = X * keep.astype(X.dtype)
+    xlp = jnp.fft.ifft(X, axis=-1)
+    sq = xlp * xlp
+    S = jnp.fft.fftshift(jnp.fft.fft(sq, axis=-1), axes=-1)
+
+    db = 10.0 * jnp.log10(jnp.maximum(jnp.abs(S), 1.0))
+    y = y_state * 0.9 + 0.1 * db
+
+    # fold at +-expectedpeakbin with a 3-bin sum (ref: :119-141)
+    def fold_sum(yv):
+        tot = jnp.zeros_like(yv)
+        for j in (-1, 0, 1):
+            lo = jnp.roll(yv, epb + j, axis=-1)    # y[i - (epb+j)]
+            hi = jnp.roll(yv, -(epb + j), axis=-1)  # y[i + (epb+j)]
+            tot = tot + lo + hi
+        return tot
+
+    z = fold_sum(y)
+    mid = nfft // 2
+    span = int(round(lockingbw / hzperbin))
+    inwin = (bins >= mid - span) & (bins < mid + span)
+    z = jnp.where(inwin, z, -jnp.inf)
+    loc = jnp.argmax(z, axis=-1)
+    # squared signal doubles the offset -> halve; sign: +loc means the
+    # squared tone pair is centered above DC, i.e. signal sits above f_c.
+    est = (loc - mid).astype(jnp.float32) * hzperbin * 0.5
+    return y, est
