@@ -1,26 +1,35 @@
 """Continuous MSK demodulator (600/1200 bps Aero P channel) and modulator.
 
 TPU-first redesign of the reference's per-sample loop
-(ref: decode/mskdemodulator.cpp:252-428).  One ``step`` processes a whole
-block of samples with dense vectorized work:
+(ref: decode/mskdemodulator.cpp:252-428).  Where the reference runs three
+per-sample feedback loops (timing PLL :323-340, carrier PLL :346-369, AGC),
+this demodulator is FULLY FEEDFORWARD and dense — no lax.scan at all:
 
-  1.  complex NCO mix to baseband                (ramp, not a wavetable walk)
-  2.  coarse CFO estimate                        (fold spectrum, models/coarse_freq)
-  3.  half-sine matched filter                   (streaming conv)
-  4.  block AGC + clip                           (ref clip 2.84: :315-318)
-  5.  MSK->OQPSK arm construction pt = (Re x[n], Im x[n-sps])   (:320-321)
-  6.  FEEDFORWARD symbol timing: the |pt| envelope carries a tone at fb/2;
-      its phase from a single-bin DFT gives the strobe grid directly —
-      replacing the IIR-resonator + arctan + wavetable PLL (:323-340)
-  7.  symbol-rate lax.scan (fb/2 steps/s, not Fs steps/s!) for carrier
-      tracking (tanh cross-product detector, :346-369), bias rotator,
-      differential soft-bit decoding (:391-418) and MSE tracking
-  8.  soft bits out as bytes 0..255, two per strobe [imag, real]
+  1.  complex NCO mix to baseband (phase-continuous across blocks)
+  2.  coarse CFO estimate (fold spectrum, models/coarse_freq) drives
+      block-level retunes while unlocked
+  3.  half-sine matched filter (streaming conv)
+  4.  block AGC + clip at 2.84 (ref :315-318)
+  5.  joint fine-CFO / carrier-phase / symbol-timing estimation from the
+      squared signal: for MSK, E[exp(2j phi(t))] = cos(pi (t-t0)/T) exactly,
+      so y^2 carries a deterministic tone pair at 2*df +- fb/2 with
+      amplitudes a+- = 1/2 exp(2j theta0) exp(-+ j pi t0 / T).  Hence
+          df     = (f+ + f-)/4           (shared-offset grid search)
+          theta0 = arg(a+ a-)/4          (mod pi/2)
+          t0     = -arg(a+ conj(a-)) T/(2 pi)   (mod T)
+      The mod-pi/2 / mod-T ambiguities are exactly stream shifts after
+      differential decoding, which the polarity-invariant UW deframer
+      absorbs; cross-block continuity picks consistent candidates.
+  6.  derotate the whole block, gather strobe samples on the timing grid,
+      build pt = (Re y'[n], Im y'[n-sps]) (MSK->OQPSK trick, ref :320-321)
+  7.  vectorized differential soft decode (ref DiffDecode semantics,
+      DSP.cpp:523-548), real arm negated (ref :391-412), bytes 0..255
 
-State is an explicit pytree; vmap the whole step over a leading VFO axis.
+Everything is convolutions, FFTs, small matmuls (the tone-grid DFT) and
+elementwise work — ideal VPU/MXU shape, vmappable over a VFO axis.
 
-Block length must be a multiple of 2*sps (e.g. 16000 works for every
-(Fs, fb) pair the reference supports: sps in {10, 20, 40, 80}).
+Block length must be a multiple of 2*sps (16000 works for every (Fs, fb)
+pair the reference supports: sps in {10, 20, 40, 80}).
 """
 
 from __future__ import annotations
@@ -31,10 +40,9 @@ from typing import NamedTuple
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from aero_tpu.ops import (nco_init, nco_mix, fir_init, fir_apply,
-                          msk_matched_filter, single_bin_dft)
+                          msk_matched_filter, block_agc)
 from aero_tpu.models.coarse_freq import coarse_freq_init, coarse_freq_estimate
 
 
@@ -44,15 +52,13 @@ class MskState(NamedTuple):
     coarse_y: jnp.ndarray       # smoothed fold spectrum [nfft]
     mf_state: jnp.ndarray       # matched filter history [2*sps-1] complex
     agc_ema: jnp.ndarray        # running mean |mf out|
-    tail: jnp.ndarray           # last 2*sps matched-filtered samples (context)
-    theta: jnp.ndarray          # carrier phase, rad (symbol-rate loop)
-    dtheta: jnp.ndarray         # carrier freq, rad/strobe
-    marg: jnp.ndarray           # residual-bias rotator EMA
+    tail: jnp.ndarray           # last 2*sps filtered samples (strobe context)
+    theta: jnp.ndarray          # carrier phase at block start, rad
+    grid: jnp.ndarray           # strobe-grid phase, samples mod 2*sps
+    have_lock_refs: jnp.ndarray # bool: theta/grid carries are meaningful
     diff_im: jnp.ndarray        # differential decoder memory, imag arm
     diff_re: jnp.ndarray        # differential decoder memory, real arm
     mse: jnp.ndarray            # constellation MSE EMA
-    ebno_mean: jnp.ndarray      # envelope mean EMA (Eb/N0 estimate inputs)
-    ebno_var: jnp.ndarray
 
 
 class MskConfig(NamedTuple):
@@ -64,16 +70,25 @@ class MskConfig(NamedTuple):
     lockingbw: float
     freq_center: float
     signal_threshold: float
+    fine_span_hz: float
+    fine_step_hz: float
 
 
 def make_config(fs: float, fb: float, block_len: int = 16000,
                 lockingbw: float = 900.0, freq_center: float = 1000.0,
-                signal_threshold: float = 0.5, nfft: int = 8192) -> MskConfig:
+                signal_threshold: float = 0.5, nfft: int = 8192,
+                fine_span_hz: float | None = None,
+                fine_step_hz: float = 0.25) -> MskConfig:
     sps = int(fs / fb)
     assert block_len % (2 * sps) == 0
     assert block_len >= nfft
+    if fine_span_hz is None:
+        # must cover the worst-case residual after a coarse retune:
+        # the fold estimate quantizes to half a coarse FFT bin, searched in
+        # the nu = 2*df domain -> span 2*(fs/nfft/2) plus margin
+        fine_span_hz = fs / nfft + 2.0
     return MskConfig(fs, fb, sps, block_len, nfft, lockingbw, freq_center,
-                     signal_threshold)
+                     signal_threshold, fine_span_hz, fine_step_hz)
 
 
 def msk_init(cfg: MskConfig) -> MskState:
@@ -83,83 +98,75 @@ def msk_init(cfg: MskConfig) -> MskState:
         coarse_y=coarse_freq_init(cfg.nfft),
         mf_state=fir_init(2 * cfg.sps, dtype=jnp.complex64),
         agc_ema=jnp.asarray(0.0, jnp.float32),
-        tail=jnp.zeros(2 * cfg.sps, jnp.complex64),
+        tail=jnp.zeros(4 * cfg.sps, jnp.complex64),
         theta=jnp.asarray(0.0, jnp.float32),
-        dtheta=jnp.asarray(0.0, jnp.float32),
-        marg=jnp.asarray(0.0, jnp.float32),
+        grid=jnp.asarray(0.0, jnp.float32),
+        have_lock_refs=jnp.asarray(False),
         diff_im=jnp.asarray(-1.0, jnp.float32),
         diff_re=jnp.asarray(-1.0, jnp.float32),
         mse=jnp.asarray(10.0, jnp.float32),
-        ebno_mean=jnp.asarray(0.0, jnp.float32),
-        ebno_var=jnp.asarray(0.0, jnp.float32),
     )
 
 
-def _carrier_scan(theta0, dtheta0, marg0, dim0, dre0, mse0, pts_cur, pts_del,
-                  locked):
-    """Symbol-rate carrier tracking + differential soft decode.
+def _tone_pair_sync(y, fb_norm, span_cyc, step_cyc):
+    """Estimate (df_norm, theta0, t0_bits) from the squared signal.
 
-    pts_cur[m]: matched-filter sample at strobe m (current arm source)
-    pts_del[m]: sample one bit-period earlier (delayed arm source)
-    Returns final carries and soft byte pairs [m, 2] = (imag_bit, real_bit).
+    y: [..., T] complex (matched-filter output).  Returns df in
+    cycles/sample, theta0 in rad (mod pi/2), t0 in bit periods (mod 1),
+    and the tone power (lock quality).
     """
-    aggression = jnp.where(locked, 8.0, 12.0)
+    T = y.shape[-1]
+    s2 = y * y
+    n = jnp.arange(T, dtype=jnp.float32)
+    # candidate shared offsets nu = 2*df
+    nu = jnp.arange(-span_cyc, span_cyc + step_cyc / 2, step_cyc, dtype=jnp.float32)
+    f_hi = nu + fb_norm / 2.0    # [C]
+    f_lo = nu - fb_norm / 2.0
+    # DFT matrix [2C, T] @ s2 — MXU-shaped matmul
+    freqs = jnp.concatenate([f_hi, f_lo])
+    tw = jnp.exp(-2j * jnp.pi * (freqs[:, None] * n[None, :] % 1.0)).astype(jnp.complex64)
+    coeffs = jnp.einsum("ct,...t->...c", tw, s2)
+    C = nu.shape[0]
+    c_hi, c_lo = coeffs[..., :C], coeffs[..., C:]
+    score = jnp.abs(c_hi) + jnp.abs(c_lo)
+    best = jnp.argmax(score, axis=-1)
+    a_p = jnp.take_along_axis(c_hi, best[..., None], axis=-1)[..., 0]
+    a_m = jnp.take_along_axis(c_lo, best[..., None], axis=-1)[..., 0]
+    nu_hat = nu[best]
 
-    def step(carry, xs):
-        theta, dtheta, marg, dim, dre, mse = carry
-        xc, xd = xs
-        rot = jnp.exp(-1j * theta)
-        z = xc * rot
-        zd = xd * rot
-        pt = z.real + 1j * zd.imag
+    # refine nu by phase slope between block halves at the winning bins
+    half = T // 2
+    def dft_at(x, f):
+        nn = jnp.arange(x.shape[-1], dtype=jnp.float32)
+        twl = jnp.exp(-2j * jnp.pi * ((f[..., None] * nn) % 1.0)).astype(jnp.complex64)
+        return jnp.sum(x * twl, axis=-1)
+    f_ref = nu_hat + fb_norm / 2.0
+    c1 = dft_at(s2[..., :half], f_ref)
+    # dft over the second half uses local indices, so it carries an extra
+    # exp(+2j pi f_ref half) relative to the global-index DFT — cancel it
+    c2 = dft_at(s2[..., half:], f_ref) * jnp.exp(
+        -2j * jnp.pi * ((f_ref * half) % 1.0)).astype(jnp.complex64)
+    dnu = jnp.angle(c2 * jnp.conj(c1)) / (2.0 * jnp.pi * half)
+    nu_hat = nu_hat + dnu
+    a_p = dft_at(s2, nu_hat + fb_norm / 2.0)
+    a_m = dft_at(s2, nu_hat - fb_norm / 2.0)
 
-        # tanh cross-product carrier detector (ref :346-364)
-        ct_xt = jnp.tanh(pt.imag) * pt.real
-        ct_xt_d = jnp.tanh(zd.real) * zd.imag
-        ec = jnp.clip(ct_xt_d - ct_xt, -jnp.pi / 2, jnp.pi / 2)
-        theta = theta + dtheta + aggression * ec * (jnp.pi / 180.0)
-        dtheta = dtheta + aggression * 0.01 * ec * (jnp.pi / 180.0)
-
-        # residual-bias rotator (ref :367-369), EMA stand-in for the
-        # sps-long moving average
-        marg = 0.95 * marg + 0.05 * (ec / 2.0)
-        ptr = pt * jnp.exp(1j * marg)
-
-        # constellation MSE (ref :386-388), 600-strobe EMA
-        tda = jnp.abs(ptr.real * 0.75) - 1.0
-        tdb = jnp.abs(ptr.imag * 0.75) - 1.0
-        mse = mse + (1.0 / 600.0) * ((tda * tda + tdb * tdb) - mse)
-
-        # differential soft decode, imag arm then negated real arm (:391-412)
-        def diffdecode(soft, last):
-            both_neg = (soft < 0) & (last < 0)
-            both_pos = (soft > 0) & (last > 0)
-            out = jnp.where(both_neg, last,
-                            jnp.where(both_pos, -last, jnp.abs(last)))
-            return out, soft
-
-        ob_im, dim = diffdecode(ptr.imag, dim)
-        ob_re, dre = diffdecode(ptr.real, dre)
-        ob_re = -ob_re
-
-        b_im = jnp.clip(jnp.round(ob_im * 127.0 + 128.0), 0, 255)
-        b_re = jnp.clip(jnp.round(ob_re * 127.0 + 128.0), 0, 255)
-
-        return (theta, dtheta, marg, dim, dre, mse), jnp.stack([b_im, b_re])
-
-    carry, soft = lax.scan(step, (theta0, dtheta0, marg0, dim0, dre0, mse0),
-                           (pts_cur, pts_del))
-    return carry, soft
+    df = nu_hat / 2.0
+    theta0 = jnp.angle(a_p * a_m) / 4.0
+    t0 = -jnp.angle(a_p * jnp.conj(a_m)) / (2.0 * jnp.pi)  # bit periods mod 1
+    quality = (jnp.abs(a_p) + jnp.abs(a_m)) / (jnp.asarray(T, jnp.float32))
+    return df, theta0, t0, quality
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def msk_step(state: MskState, samples, cfg: MskConfig):
     """Process one block of real audio samples [block_len].
 
-    Returns (new_state, dict(soft_bits [n_strobes*2] uint8, mse, freq,
-    signal, ebno)).
+    Returns (new_state, outputs dict).  Soft bits: two per strobe
+    [imag_bit, real_bit], bytes 0..255 (128 = neutral).
     """
     sps = cfg.sps
+    L = cfg.block_len
     x = jnp.asarray(samples, jnp.float32)
 
     # 1. mix to baseband at the carried frequency
@@ -167,84 +174,147 @@ def msk_step(state: MskState, samples, cfg: MskConfig):
     nco_phase, bb = nco_mix(state.nco_phase, x.astype(jnp.complex64), fnorm,
                             conj=True)
 
-    # 2. coarse CFO estimate on this block
-    coarse_y, df = coarse_freq_estimate(
+    # 2. coarse CFO estimate (drives retunes while unlocked)
+    coarse_y, dfc = coarse_freq_estimate(
         state.coarse_y, bb, nfft=cfg.nfft, fb=cfg.fb, fs=cfg.fs,
         lockingbw=cfg.lockingbw)
 
-    # 3. matched filter (half-sine over 2*sps)
+    # 3. matched filter
     taps = jnp.asarray(msk_matched_filter(sps), jnp.float32)
     mf_state, y = fir_apply(state.mf_state, bb, taps)
 
-    # 4. AGC + clip at 2.84
-    agc_ema, gain = __import__("aero_tpu.ops.stats", fromlist=["block_agc"]).block_agc(
-        state.agc_ema, jnp.abs(y))
+    # 4. AGC + clip
+    agc_ema, gain = block_agc(state.agc_ema, jnp.abs(y))
     y = y * gain
     mag = jnp.abs(y)
     y = jnp.where(mag > 2.84, y * (2.84 / jnp.maximum(mag, 1e-9)), y)
 
-    # context with one symbol of history for the delayed arm + interpolation
-    ctx = jnp.concatenate([state.tail, y])          # [block_len + 2*sps]
-    tail = ctx[-2 * sps:]
+    # 5. joint feedforward sync from the squared signal
+    fb_norm = cfg.fb / cfg.fs
+    df, theta0, t0_bits, quality = _tone_pair_sync(
+        y, fb_norm, cfg.fine_span_hz / cfg.fs, cfg.fine_step_hz / cfg.fs)
 
-    # 5-6. feedforward timing: tone at fb/2 in the MSK arm envelope
-    #      env[n] = |Re y[n]| + |Im y[n - sps]|  (proxy for |pt_msk|)
-    env = jnp.abs(y.real) + jnp.abs(ctx[2 * sps - sps: 2 * sps - sps + cfg.block_len].imag)
-    f_sym = cfg.fb / (2.0 * cfg.fs)                 # cycles/sample
-    coeff = single_bin_dft(env.astype(jnp.complex64), f_sym)
-    # envelope peaks where cos(2 pi f n + phase) is max -> n = -phase/f
-    tone_phase = jnp.angle(coeff) / (2.0 * jnp.pi)  # cycles
-    tau = jnp.mod(-tone_phase, 1.0)                 # in strobe periods [0,1)
-    n_strobes = cfg.block_len // (2 * sps)
+    def circdist(a, b, m):
+        return jnp.abs(jnp.mod(a - b + m / 2, m) - m / 2)
+
+    # carrier phase: candidates theta0 + k pi/2, continuity with carry
+    k = jnp.arange(4, dtype=jnp.float32)
+    cand_th = theta0 + k * (jnp.pi / 2.0)
+    dth = circdist(cand_th, state.theta, 2.0 * jnp.pi)
+    th_cont = cand_th[jnp.argmin(dth)]
+    theta = jnp.where(state.have_lock_refs, th_cont, theta0)
+
+    # 6. derotate the whole block
+    TAIL = 4 * sps
+    n = jnp.arange(L, dtype=jnp.float32)
+    rot = jnp.exp(-1j * (theta + 2.0 * jnp.pi * df * n)).astype(jnp.complex64)
+    yr = y * rot
+    # context: the tail is stored raw; derotate it in this block's reference
+    tail_rot = jnp.exp(-1j * (theta + 2.0 * jnp.pi * df *
+                              jnp.arange(-TAIL, 0, dtype=jnp.float32))).astype(jnp.complex64)
+    ctx = jnp.concatenate([state.tail * tail_rot, yr])   # ctx[j] = yr[j-TAIL]
+    tail = y[-TAIL:]                                     # store raw
+
+    n_strobes = L // (2 * sps)
     m = jnp.arange(n_strobes, dtype=jnp.float32)
-    pos = (m + tau) * (2.0 * sps)                   # positions in y-coords
 
     def interp(sig, p):
         p = jnp.clip(p, 0.0, sig.shape[-1] - 2.0)
         i0 = jnp.floor(p).astype(jnp.int32)
-        w = p - i0
+        w = (p - i0).astype(jnp.float32)
         return sig[i0] * (1.0 - w) + sig[i0 + 1] * w
 
-    pts_cur = interp(ctx, pos + 2 * sps)            # y at strobe
-    pts_del = interp(ctx, pos + sps)                # one bit period earlier
+    def strobes(g):
+        pos = g + m * (2.0 * sps)
+        return interp(ctx, pos + TAIL), interp(ctx, pos + TAIL - sps)
 
-    # 7. symbol-rate carrier loop + soft bits
-    locked = state.mse < cfg.signal_threshold
-    (theta, dtheta, marg, dim, dre, mse), soft = _carrier_scan(
-        state.theta, state.dtheta, state.marg, state.diff_im, state.diff_re,
-        state.mse, pts_cur, pts_del, locked)
+    # timing grid: t0 gives the grid mod sps; the arm parity (mod 2*sps) is
+    # chosen by eye quality at acquisition.  The grid is carried as a
+    # CONTINUOUS position (not re-wrapped per block): jitter in the estimate
+    # can flip its [0, 2*sps) representative, and re-wrapping would slip the
+    # bit stream by a whole strobe, so both the acquisition pick and the
+    # tracking update are mapped to the representative nearest the carry.
+    # Renormalization (a real bit-pair slip, only under sustained clock
+    # drift) happens with +-sps/2 hysteresis.
+    g_raw = jnp.mod(t0_bits * sps, sps)
+    cand = jnp.stack([g_raw, g_raw + sps])
 
-    # AFC: when not locked, snap mix frequency to center + coarse estimate
-    # (ref FreqOffsetEstimateSlot: mskdemodulator.cpp:430-469)
-    target = cfg.freq_center + df
-    retune = jnp.logical_not(locked) & (jnp.abs(state.freq - target) > 0.5)
-    freq = jnp.where(retune, target, state.freq)
-    theta = jnp.where(retune, 0.0, theta)
-    dtheta = jnp.where(retune, 0.0, dtheta)
+    def eye_mse(g):
+        pc, pd = strobes(g)
+        tda = jnp.abs(pc.real * 0.75) - 1.0
+        tdb = jnp.abs(pd.imag * 0.75) - 1.0
+        return jnp.mean(tda * tda + tdb * tdb)
 
-    # Eb/N0 tracking on matched-filter envelope (ref DSP.cpp:482-508)
-    blk_mean = jnp.mean(mag)
-    blk_var = jnp.mean(mag * mag) - blk_mean * blk_mean
-    ebno_mean = jnp.where(state.ebno_mean <= 0, blk_mean,
-                          0.8 * state.ebno_mean + 0.2 * blk_mean)
-    ebno_var = jnp.where(state.ebno_mean <= 0, blk_var,
-                         0.8 * state.ebno_var + 0.2 * blk_var)
+    grid_acq = jnp.where(eye_mse(cand[0]) <= eye_mse(cand[1]),
+                         cand[0], cand[1])
+    grid_acq = grid_acq - jnp.round((grid_acq - state.grid) / (2.0 * sps)) * (2.0 * sps)
+
+    delta = jnp.mod(g_raw - state.grid + sps / 2.0, sps) - sps / 2.0
+    grid_track = state.grid + 0.5 * delta
+
+    grid = jnp.where(state.have_lock_refs & (state.mse < cfg.signal_threshold),
+                     grid_track, grid_acq)
+    grid = jnp.where(grid < -0.5 * sps, grid + 2.0 * sps,
+                     jnp.where(grid >= 2.5 * sps, grid - 2.0 * sps, grid))
+
+    pts_cur, pts_del = strobes(grid)
+    pt_re = pts_cur.real
+    pt_im = pts_del.imag
+
+    # 7. vectorized differential soft decode (both arms), real arm negated
+    def diffdecode(seq, carry):
+        prev = jnp.concatenate([carry[None], seq[:-1]])
+        both_neg = (seq < 0) & (prev < 0)
+        both_pos = (seq > 0) & (prev > 0)
+        out = jnp.where(both_neg, prev, jnp.where(both_pos, -prev, jnp.abs(prev)))
+        return out, seq[-1]
+
+    ob_im, diff_im = diffdecode(pt_im, state.diff_im)
+    ob_re, diff_re = diffdecode(pt_re, state.diff_re)
+    ob_re = -ob_re
+    soft = jnp.stack([jnp.clip(jnp.round(ob_im * 127.0 + 128.0), 0, 255),
+                      jnp.clip(jnp.round(ob_re * 127.0 + 128.0), 0, 255)],
+                     axis=-1).reshape(-1).astype(jnp.uint8)
+
+    # constellation MSE (ref :386-388) as a block mean + EMA carry
+    tda = jnp.abs(pt_re * 0.75) - 1.0
+    tdb = jnp.abs(pt_im * 0.75) - 1.0
+    blk_mse = jnp.mean(tda * tda + tdb * tdb)
+    mse = 0.7 * state.mse + 0.3 * blk_mse
+    locked = mse < cfg.signal_threshold
+
+    # AFC: while unlocked, retune by the coarse estimate (relative to the
+    # current mix freq; hysteresis avoids FFT-bin flapping).  Flood the
+    # smoothed spectrum on retune (ref bigchange()).
+    retune_threshold = 1.6 * (cfg.fs / cfg.nfft)
+    retune = jnp.logical_not(locked) & (jnp.abs(dfc) > retune_threshold)
+    freq = jnp.where(retune, state.freq + dfc, state.freq)
+    coarse_y = jnp.where(retune, jnp.full_like(coarse_y, 20.0), coarse_y)
+
+    # fine-CFO fold-in: absorb df into the mixer so the next block's tones
+    # sit near 0 (phases stay continuous: adjust theta carry accordingly)
+    freq = freq + jnp.where(retune, 0.0, df * cfg.fs)
+    theta_next = jnp.mod(theta + 2.0 * jnp.pi * df * L, 2.0 * jnp.pi)
+    have_refs = jnp.logical_not(retune)
 
     new_state = MskState(nco_phase, freq, coarse_y, mf_state, agc_ema, tail,
-                         theta, dtheta, marg, dim, dre, mse, ebno_mean,
-                         ebno_var)
+                         theta_next, grid, have_refs, diff_im, diff_re, mse)
     out = {
-        "soft_bits": soft.reshape(-1).astype(jnp.uint8),
+        "soft_bits": soft,
         "mse": mse,
         "freq": freq,
-        "coarse_offset": df,
-        "signal": mse < cfg.signal_threshold,
+        "coarse_offset": dfc,
+        "fine_offset": df * cfg.fs,
+        "tone_quality": quality,
+        "signal": locked,
+        "theta": theta,
+        "grid": grid,
     }
     return new_state, out
 
 
 class MskDemodulator:
-    """Convenience host wrapper: one VFO, streaming over blocks."""
+    """Host wrapper: one VFO, streaming over blocks."""
 
     def __init__(self, fs: float, fb: float, **kw):
         self.cfg = make_config(fs, fb, **kw)
@@ -268,23 +338,15 @@ def msk_modulate(bits, fs: float, fb: float, freq: float = 1000.0,
                  amplitude: float = 0.25, phase0: float = 0.0) -> np.ndarray:
     """MSK-modulate a bit stream to real audio at ``fs``.
 
-    CPM form: the carrier phase ramps +-pi/2 per bit period.  The mapping
-    from frame-stream bits to phase steps is the inverse of the demodulator's
-    arm construction + differential decode: bits are differentially encoded
-    onto phase-step signs per arm pair.  (Validated by round-trip tests; the
-    reference's only oracle was a live satellite.)
+    CPM form: carrier phase ramps +-pi/2 per bit period.  The precoder
+    inverts the demodulator's per-arm differential decode with its
+    alternating-arm inversion (real arm negated), so the demodulated stream
+    reproduces ``bits`` up to a bounded shift + polarity that the UW
+    deframer absorbs.
     """
     bits = np.asarray(bits, dtype=np.uint8)
     sps = int(fs / fb)
-    # differential pre-coding: demod emits bit=1 when the arm sample changed
-    # sign since the previous strobe of that arm.  Phase steps d in {+1,-1}
-    # per bit period; arm samples ~ cos/sin of cumulative phase.  Solving the
-    # demod chain gives: d[k] = +-1 with product relation
-    #   d[k]*d[k-1] = -1 iff stream bit k says "changed"... — empirically the
-    # mapping reduces to d[k] = 1-2*e[k] with e differentially encoded:
     e = np.empty_like(bits)
-    # demod order is (imag, real-negated) per strobe; reconstruct the +-1
-    # chip sequence by inverting the per-arm differential decoder:
     prev = 0
     for k in range(len(bits)):
         cur = bits[k] ^ prev if (k % 2 == 0) else bits[k] ^ prev ^ 1
