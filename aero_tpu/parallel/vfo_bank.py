@@ -1,0 +1,48 @@
+"""Batched multi-VFO demodulation, sharded over a device mesh.
+
+This is the TPU replacement for the reference's one-process-per-VFO model
+(ref: decode/main.cpp + ZMQ topic per VFO): a bank of B MSK demodulators is a
+single jitted step vmapped over the leading axis and sharded over the mesh's
+``vfo`` axis.  All VFOs advance in lock-step on dense blocks; soft bits come
+back [B, bits/block] for the host-side deframers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from aero_tpu.models.msk import MskConfig, make_config, msk_init, msk_step
+from aero_tpu.parallel.mesh import make_mesh, shard_over_vfo
+
+
+class MskVfoBank:
+    """B independent MSK demodulators as one sharded, jitted step."""
+
+    def __init__(self, n_vfos: int, fs: float, fb: float,
+                 mesh: Mesh | None = None, donate: bool = True, **kw):
+        self.cfg = make_config(fs, fb, **kw)
+        self.n = n_vfos
+        self.mesh = mesh if mesh is not None else make_mesh()
+        states = jax.vmap(lambda _: msk_init(self.cfg))(jnp.arange(n_vfos))
+        self.states = shard_over_vfo(self.mesh, states)
+
+        cfg = self.cfg
+
+        def step(states, samples):
+            return jax.vmap(lambda s, x: msk_step(s, x, cfg))(states, samples)
+
+        self._step = jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def process_block(self, samples: np.ndarray):
+        """samples: [n_vfos, block_len] real float32.  Returns outputs dict
+        with leading vfo axis."""
+        samples = jax.device_put(
+            jnp.asarray(samples, jnp.float32),
+            NamedSharding(self.mesh, P("vfo", None)))
+        self.states, out = self._step(self.states, samples)
+        return out
