@@ -184,14 +184,26 @@ class PChannelFramer:
     # ---- UW search ----
 
     def _correlate_uw(self, hard: np.ndarray) -> np.ndarray:
-        """Number of UW bit errors ending at each position (phase-aware)."""
+        """Number of UW bit errors ending at each position.
+
+        Phase invariance is PER ARM when the UW is arm-duplicated
+        (uw_repeat=2): a 90-degree carrier lock flips one OQPSK arm only,
+        so each arm's polarity is scored independently (the reference's
+        separate real/imag phase-invariant detectors, aerol.cpp:1089-1152).
+        """
         n = len(self._uw_pattern)
         if len(hard) < n:
             return np.full(len(hard), 99, dtype=np.int32)
         windows = np.lib.stride_tricks.sliding_window_view(hard.astype(np.int32), n)
-        errs = np.sum(windows != self._uw_pattern[None, :], axis=1)
+        r = self.spec.uw_repeat
         if self.phase_invariant:
-            errs = np.minimum(errs, n - errs)  # inverted match also counts
+            errs = np.zeros(windows.shape[0], dtype=np.int32)
+            for arm in range(r):
+                e = np.sum(windows[:, arm::r] != self._uw_pattern[None, arm::r],
+                           axis=1)
+                errs += np.minimum(e, n // r - e)
+        else:
+            errs = np.sum(windows != self._uw_pattern[None, :], axis=1)
         out = np.full(len(hard), 99, dtype=np.int32)
         out[n - 1:] = errs
         return out
@@ -264,9 +276,14 @@ class PChannelFramer:
         payload = frame[p0: p0 + spec.payload_soft_bits]
         uw = frame[p0 + spec.payload_soft_bits:]
         uw_hard = (uw >= 128).astype(np.int32)
-        uw_errors = int(np.sum(uw_hard != self._uw_pattern))
+        r = spec.uw_repeat
         if self.phase_invariant:
-            uw_errors = min(uw_errors, len(uw) - uw_errors)
+            uw_errors = 0
+            for arm in range(r):
+                e = int(np.sum(uw_hard[arm::r] != self._uw_pattern[arm::r]))
+                uw_errors += min(e, len(uw) // r - e)
+        else:
+            uw_errors = int(np.sum(uw_hard != self._uw_pattern))
 
         # deinterleave per block, decode continuously, descramble
         blocklen = 64 * spec.cols
