@@ -87,6 +87,19 @@ def fir_decimate_apply(state, x, taps, factor: int):
     return new_state, y
 
 
+def delay_init(n: int, batch_shape=(), dtype=jnp.float32):
+    """Integer delay line state (the reference's DelayThing,
+    decode/DSP.h:446-486)."""
+    return jnp.zeros(batch_shape + (n,), dtype=dtype)
+
+
+def delay_apply(state, x):
+    """Delay the block by ``state.shape[-1]`` samples."""
+    n = state.shape[-1]
+    xp = jnp.concatenate([state, x], axis=-1)
+    return xp[..., -n:] if n else state, xp[..., : x.shape[-1]]
+
+
 def halfband_cascade_init(n_stages: int, ntaps: int, batch_shape=(), dtype=jnp.complex64):
     return [fir_decimate_init(ntaps, batch_shape, dtype) for _ in range(n_stages)]
 

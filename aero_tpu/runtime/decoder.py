@@ -1,0 +1,171 @@
+"""The decoder runtime: wires demodulator -> deframer -> SU dispatch ->
+ACARS -> output/forwarders for one VFO stream.
+
+Python equivalent of the reference's Decoder orchestrator
+(ref: decode/decode.cpp:72-455): demodulator choice by (bitrate, burst)
+(decode.cpp:123-159: Fs=12000 @600, 24000 @1200, 48000 otherwise), signal
+hunter wiring (decode.cpp:161-241: C-band scan (0,25000,10500), L-band
+(0,6000,900)), console output + TCP/UDP forwarding of every ACARS item
+(decode.cpp:368-455).
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from aero_tpu.protocol.framing import PChannelFramer
+from aero_tpu.protocol.su_dispatch import PChannelSUDispatcher
+from aero_tpu.io.output import to_output_format
+from aero_tpu.io.forwarder import ForwardTarget, parse_forwarder
+from aero_tpu.runtime.hunter import SignalHunter
+
+
+def fs_for_bitrate(bitrate: int) -> int:
+    """ref: decode/decode.cpp:145."""
+    return {600: 12000, 1200: 24000}.get(bitrate, 48000)
+
+
+@dataclass
+class DecoderOptions:
+    bitrate: int = 600
+    burst: bool = False
+    station_id: str = "AERO-TPU"
+    fmt: str = "jsondump"
+    forwarders: list = field(default_factory=list)
+    disable_reassembly: bool = False
+    no_signal_exit: bool = False
+    verbose: int = 0
+
+
+class Decoder:
+    def __init__(self, opts: DecoderOptions):
+        self.opts = opts
+        self.fs = fs_for_bitrate(opts.bitrate)
+        self._make_demod()
+        self.framer = PChannelFramer(opts.bitrate) \
+            if opts.bitrate in (600, 1200, 10500) else None
+        self.dispatcher = PChannelSUDispatcher(
+            on_acars=self.handle_acars,
+            on_error=lambda msg: print(msg, file=sys.stderr),
+            downlink=opts.burst)
+        self.targets = [ForwardTarget(parse_forwarder(s))
+                        for s in opts.forwarders]
+        self.hunter = SignalHunter(
+            on_new_center=self._set_center,
+            on_no_signal_after_scan=self._no_signal)
+        if opts.bitrate > 1200:
+            self.hunter.set_scan_range(0, 25000, 10500)   # C band
+        else:
+            self.hunter.set_scan_range(0, 6000, 900)      # L band
+        self._buf = np.zeros(0, np.float32)
+        self._no_signal_flag = False
+        self.items = []
+
+    # ---- demodulator management ----
+
+    def _make_demod(self):
+        opts = self.opts
+        if opts.burst:
+            from aero_tpu.models.burst_msk import BurstMskDemodulator
+            from aero_tpu.models.burst_oqpsk import BurstOqpskDemodulator
+            if opts.bitrate > 1200:
+                self.demod = BurstOqpskDemodulator(self.fs, float(opts.bitrate))
+            else:
+                self.demod = BurstMskDemodulator(self.fs, float(opts.bitrate))
+        elif opts.bitrate in (600, 1200):
+            from aero_tpu.models.msk import MskDemodulator
+            self.demod = MskDemodulator(self.fs, float(opts.bitrate))
+        else:
+            from aero_tpu.models.oqpsk import OqpskDemodulator
+            self.demod = OqpskDemodulator(self.fs, float(opts.bitrate))
+
+    def _set_center(self, freq_center: float):
+        # block-level retune: reset the demod's carried mix frequency
+        import jax.numpy as jnp
+        st = self.demod.state
+        self.demod.state = st._replace(
+            freq=jnp.asarray(np.float32(max(freq_center, 100.0))),
+            mse=jnp.asarray(np.float32(10.0)))
+
+    def _no_signal(self):
+        self._no_signal_flag = True
+
+    # ---- data path ----
+
+    def feed_audio(self, payload: bytes, sample_rate: int):
+        """PCM int16 audio chunk from the wire."""
+        if sample_rate != self.fs:
+            # adapt like the reference (mskdemodulator.cpp:473-481)
+            print(f"sample rate change {self.fs} -> {sample_rate}",
+                  file=sys.stderr)
+            self.fs = sample_rate
+            self._make_demod()
+        pcm = np.frombuffer(payload, "<i2").astype(np.float32) / 32768.0
+        self._buf = np.concatenate([self._buf, pcm])
+        L = self.demod.cfg.block_len
+        while len(self._buf) >= L:
+            block, self._buf = self._buf[:L], self._buf[L:]
+            for out in self.demod.process(block):
+                self._consume(out)
+
+    def _consume(self, out):
+        self.hunter.update_signal_status(bool(out["signal"]))
+        self.hunter.update_dcd(self.dispatcher_dcd())
+        soft = np.asarray(out["soft_bits"], np.float32)
+        if self.framer is None:
+            return
+        for ev in self.framer.feed(soft):
+            for k, ok in enumerate(ev.su_crc_ok):
+                if ok:
+                    line = self.dispatcher.dispatch(
+                        ev.infofield[k * 12:(k + 1) * 12])
+                    if self.opts.verbose and line:
+                        print(line)
+
+    def dispatcher_dcd(self) -> bool:
+        return self.framer.dcd if self.framer else False
+
+    def handle_acars(self, item):
+        self.items.append(item)
+        line = to_output_format(self.opts.fmt, self.opts.station_id,
+                                self.opts.disable_reassembly, item)
+        print(line, flush=True)
+        for t in self.targets:
+            t.send(to_output_format(t.spec.fmt, self.opts.station_id,
+                                    self.opts.disable_reassembly, item))
+
+    # ---- run loops ----
+
+    def run_zmq(self, url: str, topic: str):
+        from aero_tpu.io.zmq_transport import ZmqSubscriber
+        sub = ZmqSubscriber(url, topic)
+        try:
+            while not self._no_signal_flag or not self.opts.no_signal_exit:
+                msg = sub.recv(timeout_ms=100)
+                if msg is None:
+                    continue
+                _, rate, payload = msg
+                self.feed_audio(payload, rate)
+                if self._no_signal_flag and self.opts.no_signal_exit:
+                    break
+        finally:
+            sub.close()
+
+    def run_file(self, path: str, sample_rate: int | None = None):
+        """Decode a PCM int16 raw file or WAV file, then flush."""
+        if path.endswith(".wav"):
+            import wave
+            with wave.open(path, "rb") as w:
+                rate = w.getframerate()
+                data = w.readframes(w.getnframes())
+        else:
+            rate = sample_rate or self.fs
+            with open(path, "rb") as f:
+                data = f.read()
+        self.feed_audio(data, rate)
+        # flush with silence so trailing frames decode
+        pad = np.zeros(2 * self.demod.cfg.block_len, np.float32)
+        self.feed_audio((pad * 32767).astype("<i2").tobytes(), rate)

@@ -1,0 +1,117 @@
+"""Channelizer tests: INI parsing and publish->decode integration."""
+
+import numpy as np
+import pytest
+
+from aero_tpu.channelizer import load_ini, Channelizer
+from aero_tpu.models.msk import MskDemodulator, msk_modulate
+from aero_tpu.protocol.framing import build_p_frames, PChannelFramer
+from aero_tpu.protocol.crc import append_crc16_bytes
+
+INI_288 = """
+[General]
+sample_rate=288000
+center_frequency=1545000000
+zmq_address=tcp://*:5555
+[vfos]
+size=1
+1\\frequency=1545009000
+1\\data_rate=1200
+1\\topic=VFO1
+1\\gain=100
+"""
+
+INI_1536 = """
+[General]
+sample_rate=1536000
+center_frequency=1545000000
+[main_vfos]
+size=1
+1\\frequency=1545100000
+1\\out_rate=192000
+1\\zmq_topic=WB1
+[vfos]
+size=1
+1\\frequency=1545109000
+1\\data_rate=1200
+1\\topic=VFO1
+1\\gain=100
+"""
+
+
+def test_ini_parse_288():
+    cfg = load_ini(INI_288, is_text=True)
+    assert cfg.sample_rate == 288000
+    assert len(cfg.subs) == 1
+    s = cfg.subs[0]
+    assert s.out_rate == 24000
+    assert s.late_decimate == 6        # 288000/48000 == 6 (publisher.cpp:202)
+    assert s.decim_count == 1          # log2(288000/(6*24000))
+    assert s.main_idx == -1
+
+
+def test_ini_parse_1536_tree():
+    cfg = load_ini(INI_1536, is_text=True)
+    assert cfg.mains[0].decim_count == 3       # 1536000 -> 192000
+    s = cfg.subs[0]
+    assert s.main_idx == 0
+    assert s.decim_count == 3                  # 192000 -> 24000
+    assert s.late_decimate == 0
+
+
+def test_ini_rejects_bad_rate():
+    with pytest.raises(ValueError):
+        load_ini("sample_rate=100000", is_text=True)
+
+
+def _synth_wideband_msk(bits, fs, fb, offset_hz, amp=0.1):
+    sps = fs / fb
+    e = np.empty_like(bits)
+    prev = 0
+    for k in range(len(bits)):
+        cur = bits[k] ^ prev if (k % 2 == 0) else bits[k] ^ prev ^ 1
+        e[k] = cur
+        prev = cur
+    d = 1.0 - 2.0 * e.astype(np.float64)
+    steps = np.repeat(d * (np.pi / 2.0) / sps, int(round(sps)))
+    phase = np.concatenate([[0.0], np.cumsum(steps)])[:-1]
+    n = np.arange(len(phase))
+    return (amp * np.exp(1j * (2 * np.pi * offset_hz / fs * n + phase))
+            ).astype(np.complex64)
+
+
+def test_publish_decode_integration_288k():
+    """Wideband IQ -> channelizer -> audio -> MSK demod -> frames."""
+    rng = np.random.default_rng(1)
+    fields = [b"".join(append_crc16_bytes(bytes([0x71] + list(rng.integers(0, 256, 9))))
+                       for _ in range(6)) for _ in range(2)]
+    bits = build_p_frames(fields, 1200, lead_frames=3)
+    fs = 288000
+    wb = _synth_wideband_msk(bits, fs, 1200.0, (1545009000 + 1000) - 1545000000)
+    wb = wb + (rng.normal(0, 0.01, len(wb)) + 1j * rng.normal(0, 0.01, len(wb))).astype(np.complex64)
+
+    cfg = load_ini(INI_288, is_text=True)
+    ch = Channelizer(cfg)
+    B = cfg.buflen_complex
+    audio = []
+    for i in range(len(wb) // B):
+        for topic, rate, payload in ch.process(wb[i * B:(i + 1) * B]):
+            assert topic == "VFO1" and rate == 24000
+            audio.append(np.frombuffer(payload, "<i2").astype(np.float32) / 32768.0)
+    audio = np.concatenate(audio)
+
+    dm = MskDemodulator(24000, 1200)
+    outs = dm.process(np.concatenate([audio, np.zeros(32000, np.float32)]))
+    soft = np.concatenate([o["soft_bits"] for o in outs]).astype(np.float32)
+    evs = PChannelFramer(1200).feed(soft)
+    got = [e.infofield for e in evs]
+    assert all(f in got for f in fields)
+
+
+def test_compress_nibbles():
+    z = np.array([0.5 + 0.25j, -0.5 - 0.25j], np.complex64)
+    payload = Channelizer._compress_nibbles(z, 1)
+    b = np.frombuffer(payload, np.uint8)
+    assert len(b) == 2
+    # 0.5*128=64 -> high nibble 0x4; 0.25*128=32 -> 0x2
+    assert b[0] == (64 & 0xF0) | ((32 & 0xF0) >> 4)

