@@ -27,7 +27,14 @@ class MskVfoBank:
                  mesh: Mesh | None = None, donate: bool = True, **kw):
         self.cfg = make_config(fs, fb, **kw)
         self.n = n_vfos
-        self.mesh = mesh if mesh is not None else make_mesh()
+        if mesh is None:
+            # the vfo axis must divide the batch; use the largest device
+            # count that does
+            n_dev = len(jax.devices())
+            while n_vfos % n_dev:
+                n_dev -= 1
+            mesh = make_mesh(n_dev)
+        self.mesh = mesh
         states = jax.vmap(lambda _: msk_init(self.cfg))(jnp.arange(n_vfos))
         self.states = shard_over_vfo(self.mesh, states)
 

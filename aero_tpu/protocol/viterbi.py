@@ -148,7 +148,14 @@ class StreamingViterbi:
         buf = np.concatenate(
             [self._carry, soft_chunk,
              np.full(self.LOOKAHEAD, 128, dtype=np.float32)])
-        bits = np.asarray(viterbi_decode_soft(jnp.asarray(buf)))
+        # single-frame host decodes go through the native C++ decoder when
+        # available (aero_tpu/native, the libcorrect replacement); batched
+        # device decodes use the Pallas kernel instead
+        from aero_tpu import native
+        if native.have_native():
+            bits = native.viterbi_decode_soft_native(buf)
+        else:
+            bits = np.asarray(viterbi_decode_soft(jnp.asarray(buf)))
         self._carry = soft_chunk[-self.HISTORY:].copy() if soft_chunk.size >= self.HISTORY \
             else np.concatenate([self._carry, soft_chunk])[-self.HISTORY:]
         h = self.HISTORY // 2

