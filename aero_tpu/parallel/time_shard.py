@@ -1,0 +1,88 @@
+"""Time-sharded wideband filtering with halo exchange.
+
+The sequence-parallel axis of this framework: one wideband block is split
+over a ``time`` mesh axis; each device filters its shard and the causal
+filter history (ntaps-1 samples) crosses shard boundaries as a halo sent by
+``ppermute`` over ICI (SURVEY.md §2.6 / §7: "overlap-save filter boundary
+samples exchanged via collectives").
+
+Composable with the ``vfo`` axis: a (time, vfo) mesh runs hundreds of VFO
+chains over a time-sharded wideband stream.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+def halo_filter_time_sharded(mesh: Mesh, taps, axis: str = "time"):
+    """Build a jitted time-sharded causal FIR: x [T] -> y [T].
+
+    Each shard receives its left neighbor's last ntaps-1 samples via
+    ppermute, so the result is bit-identical to the unsharded filter
+    (first shard sees zeros, i.e. zero initial state).
+    """
+    taps = jnp.asarray(taps, jnp.float32)
+    k = taps.shape[0]
+
+    def local(x_shard):
+        n = lax.axis_index(axis)
+        size = lax.axis_size(axis)
+        tail = x_shard[-(k - 1):]
+        # send my tail to my right neighbor (shard i -> i+1)
+        perm = [(i, i + 1) for i in range(size - 1)]
+        halo = lax.ppermute(tail, axis, perm)
+        halo = jnp.where(n == 0, jnp.zeros_like(halo), halo)
+        xp = jnp.concatenate([halo, x_shard])
+        if jnp.iscomplexobj(xp):
+            tr = jnp.convolve(xp.real, taps[::-1], mode="valid")
+            ti = jnp.convolve(xp.imag, taps[::-1], mode="valid")
+            return (tr + 1j * ti).astype(jnp.complex64)
+        return jnp.convolve(xp, taps[::-1], mode="valid")
+
+    fn = shard_map(local, mesh=mesh, in_specs=P(axis),
+                   out_specs=P(axis), check_rep=False)
+    return jax.jit(fn)
+
+
+def halo_decimate_time_sharded(mesh: Mesh, taps, factor: int,
+                               axis: str = "time"):
+    """Time-sharded causal FIR + keep-every-``factor``-th sample.
+
+    Shard length must be a multiple of ``factor``; output shards stay on
+    their devices (global result = concatenation).
+    """
+    taps = jnp.asarray(taps, jnp.float32)
+    k = taps.shape[0]
+
+    def local(x_shard):
+        n = lax.axis_index(axis)
+        size = lax.axis_size(axis)
+        tail = x_shard[-(k - 1):]
+        perm = [(i, i + 1) for i in range(size - 1)]
+        halo = lax.ppermute(tail, axis, perm)
+        halo = jnp.where(n == 0, jnp.zeros_like(halo), halo)
+        xp = jnp.concatenate([halo, x_shard])
+
+        def conv(z):
+            zb = z.reshape(1, 1, -1)
+            hb = taps[::-1].reshape(1, 1, -1).astype(z.dtype)
+            y = lax.conv_general_dilated(
+                zb, hb, window_strides=(factor,), padding="VALID",
+                dimension_numbers=("NCH", "IOH", "NCH"))
+            return y.reshape(-1)
+
+        if jnp.iscomplexobj(xp):
+            return (conv(xp.real) + 1j * conv(xp.imag)).astype(jnp.complex64)
+        return conv(xp)
+
+    fn = shard_map(local, mesh=mesh, in_specs=P(axis),
+                   out_specs=P(axis), check_rep=False)
+    return jax.jit(fn)

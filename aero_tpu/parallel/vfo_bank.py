@@ -20,11 +20,17 @@ from aero_tpu.models.msk import MskConfig, make_config, msk_init, msk_step
 from aero_tpu.parallel.mesh import make_mesh, shard_over_vfo
 
 
-class MskVfoBank:
-    """B independent MSK demodulators as one sharded, jitted step."""
+class VfoBank:
+    """B independent demodulators of one model as a sharded, jitted step."""
+
+    _make_config = staticmethod(make_config)
+    _init = staticmethod(msk_init)
+    _step = staticmethod(msk_step)
 
     def __init__(self, n_vfos: int, fs: float, fb: float,
                  mesh: Mesh | None = None, donate: bool = True, **kw):
+        make_config, msk_init, msk_step = (self._make_config, self._init,
+                                           self._step)
         self.cfg = make_config(fs, fb, **kw)
         self.n = n_vfos
         if mesh is None:
@@ -43,7 +49,7 @@ class MskVfoBank:
         def step(states, samples):
             return jax.vmap(lambda s, x: msk_step(s, x, cfg))(states, samples)
 
-        self._step = jax.jit(step, donate_argnums=(0,) if donate else ())
+        self._jit_step = jax.jit(step, donate_argnums=(0,) if donate else ())
 
     def process_block(self, samples: np.ndarray):
         """samples: [n_vfos, block_len] real float32.  Returns outputs dict
@@ -51,5 +57,19 @@ class MskVfoBank:
         samples = jax.device_put(
             jnp.asarray(samples, jnp.float32),
             NamedSharding(self.mesh, P("vfo", None)))
-        self.states, out = self._step(self.states, samples)
+        self.states, out = self._jit_step(self.states, samples)
         return out
+
+
+class MskVfoBank(VfoBank):
+    """B independent MSK demodulators (600/1200 bps)."""
+
+
+from aero_tpu.models import oqpsk as _oqpsk_mod
+
+
+class OqpskVfoBank(VfoBank):
+    """B independent OQPSK demodulators (8400/10500 bps)."""
+    _make_config = staticmethod(_oqpsk_mod.make_config)
+    _init = staticmethod(_oqpsk_mod.oqpsk_init)
+    _step = staticmethod(_oqpsk_mod.oqpsk_step)

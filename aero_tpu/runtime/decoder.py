@@ -129,6 +129,8 @@ class Decoder:
         return self.framer.dcd if self.framer else False
 
     def handle_acars(self, item):
+        from aero_tpu.protocol.acars_apps import enrich
+        enrich(item)   # libacars-equivalent app decode (ref decode.cpp:401)
         self.items.append(item)
         line = to_output_format(self.opts.fmt, self.opts.station_id,
                                 self.opts.disable_reassembly, item)

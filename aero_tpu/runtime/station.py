@@ -24,7 +24,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from aero_tpu.channelizer import ChannelizerConfig, Channelizer
-from aero_tpu.parallel.vfo_bank import MskVfoBank
+from aero_tpu.parallel.vfo_bank import MskVfoBank, OqpskVfoBank
 from aero_tpu.protocol.framing import PChannelFramer
 from aero_tpu.protocol.su_dispatch import PChannelSUDispatcher
 
@@ -59,7 +59,7 @@ class Station:
         # becomes one batched TPU bank; every member gets its own deframer
         self.groups = defaultdict(list)
         for i, s in enumerate(cfg.subs):
-            if s.data_rate in (600, 1200):
+            if s.data_rate in (600, 1200, 10500):
                 self.groups[(s.out_rate, s.data_rate)].append(i)
         self.banks = {}
         self.framers = {}
@@ -67,8 +67,9 @@ class Station:
         self._audio_buf = {}
         for key, idxs in self.groups.items():
             out_rate, data_rate = key
-            self.banks[key] = MskVfoBank(len(idxs), float(out_rate),
-                                         float(data_rate), mesh=mesh)
+            bank_cls = MskVfoBank if data_rate in (600, 1200) else OqpskVfoBank
+            self.banks[key] = bank_cls(len(idxs), float(out_rate),
+                                       float(data_rate), mesh=mesh)
             for i in idxs:
                 topic = cfg.subs[i].topic
                 self.framers[topic] = PChannelFramer(data_rate)

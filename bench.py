@@ -1,11 +1,14 @@
-"""Benchmark: multi-VFO MSK demod throughput on one chip.
+"""Benchmarks on one chip.  Prints ONE JSON line to stdout (headline:
+full-chain wideband throughput); extra metrics go to stderr.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Headline: a fused device-side full chain — one wideband 1.536 MS/s stream,
+B VFOs each doing NCO mix -> 6-stage halfband cascade (64:1) -> USB demod
+(Hilbert) -> full feedforward MSK demod step -> soft bits.  That is the
+entire aero-publish + aero-decode compute path per VFO.
 
-The reference runs one demodulator per CPU core at ~1x real time
-(decode/decode.h:42; SURVEY.md §6), i.e. 0.024 MSamples/s per 24 kHz VFO.
-``vs_baseline`` is our aggregate demod throughput divided by that — the
-number of real-time 24 kHz VFO equivalents sustained per chip.
+``vs_baseline``: the reference needs one CPU process per VFO at ~1x real
+time and one SDR per 1.536 MS/s stream (SURVEY.md §6).  We report how many
+complete 1.536 MS/s stations (wideband + B-VFO bank) one chip sustains.
 """
 
 import json
@@ -15,46 +18,144 @@ import time
 import numpy as np
 
 
-def main():
+def bench_full_chain(B=50, n_iter=10):
+    import jax
+    import jax.numpy as jnp
+    from aero_tpu.ops import HALFBAND_TAPS, hilbert_design
+    from aero_tpu.ops.nco import nco_mix
+    from aero_tpu.ops.fir import (fir_decimate_init, fir_decimate_apply,
+                                  fir_init, fir_apply, delay_init, delay_apply)
+    from aero_tpu.models.msk import make_config, msk_init, msk_step, msk_modulate
+
+    fs_wb = 1536000.0
+    fs = 24000.0
+    stages = 6                                  # 1536000 / 2^6 = 24000
+    cfg = make_config(fs, 1200.0)
+    L_wb = cfg.block_len * (2 ** stages)        # 1,024,000 samples (0.67 s)
+
+    # keep filter constants as numpy: the experimental axon backend cannot
+    # materialize device-array closure constants at trace time
+    hb = HALFBAND_TAPS[11].astype(np.float32)
+    hilb = hilbert_design(125).astype(np.float32)
+
+    def chain_init(_):
+        return {
+            "nco": jnp.asarray(0.0, jnp.float32),
+            "hb": [fir_decimate_init(11, dtype=jnp.complex64)
+                   for _ in range(stages)],
+            "hilb": fir_init(125),
+            "dly": delay_init(62),
+            "demod": msk_init(cfg),
+        }
+
+    def chain_step(st, wideband, f):
+        new = dict(st)
+        new["nco"], z = nco_mix(st["nco"], wideband, f)
+        hbs = []
+        for s in st["hb"]:
+            s, z = fir_decimate_apply(s, z, jnp.asarray(hb), 2)
+            hbs.append(s)
+        new["hb"] = hbs
+        new["hilb"], h = fir_apply(st["hilb"], z.imag, jnp.asarray(hilb))
+        new["dly"], d = delay_apply(st["dly"], z.real)
+        audio = (d - h) * 10.0
+        new["demod"], out = msk_step(st["demod"], audio, cfg)
+        return new, out["soft_bits"]
+
+    states = jax.vmap(chain_init)(jnp.arange(B))
+    freqs = jnp.asarray(np.linspace(-0.4, 0.4, B, dtype=np.float32))
+
+    # wideband test signal: a complex exponential keeps every demod branch
+    # active without mattering for throughput
+    n = np.arange(L_wb)
+    wideband = jnp.asarray(
+        (0.1 * np.exp(2j * np.pi * 0.01 * n)).astype(np.complex64))
+
+    @jax.jit
+    def step(states, wideband, freqs):
+        return jax.vmap(chain_step, in_axes=(0, None, 0))(states, wideband,
+                                                          freqs)
+
+    states, out = step(states, wideband, freqs)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        states, out = step(states, wideband, freqs)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iter
+
+    wb_rate = L_wb / dt                          # wideband samples/s
+    stations = wb_rate / fs_wb                   # full 1.536MS/s stations/chip
+    return wb_rate / 1e6, stations, B
+
+
+def bench_demod_only(B=128, n_iter=20):
     import jax
     import jax.numpy as jnp
     from aero_tpu.models.msk import make_config, msk_init, msk_step, msk_modulate
-
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    fs, fb = 24000.0, 1200.0
-    cfg = make_config(fs, fb)
-
+    cfg = make_config(24000.0, 1200.0)
     rng = np.random.default_rng(0)
-    bits = rng.integers(0, 2, size=4000).astype(np.uint8)
-    one = msk_modulate(bits, fs, fb, freq=1000.0)[: cfg.block_len]
+    one = msk_modulate(rng.integers(0, 2, 4000).astype(np.uint8), 24000.0,
+                       1200.0)[: cfg.block_len]
     samples = jnp.asarray(np.tile(one, (B, 1)), jnp.float32)
-
     states = jax.vmap(lambda _: msk_init(cfg))(jnp.arange(B))
 
     @jax.jit
     def step(states, samples):
         return jax.vmap(lambda s, x: msk_step(s, x, cfg))(states, samples)
 
-    # compile + warmup
     states, out = step(states, samples)
     jax.block_until_ready(out)
-
-    n_iter = 20
     t0 = time.perf_counter()
     for _ in range(n_iter):
         states, out = step(states, samples)
     jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    dt = (time.perf_counter() - t0) / n_iter
+    return B * cfg.block_len / dt / 1e6
 
-    samples_per_s = B * cfg.block_len * n_iter / dt
-    msps = samples_per_s / 1e6
-    vs_baseline = samples_per_s / fs  # real-time 24k-VFO equivalents/chip
+
+def bench_viterbi(B=128, T=2496, n_iter=10):
+    import jax
+    import jax.numpy as jnp
+    from aero_tpu.ops.pallas.viterbi_kernel import viterbi_decode_soft_pallas
+    from aero_tpu.protocol.viterbi import conv_encode
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, size=(B, T)).astype(np.uint8)
+    soft = np.stack([conv_encode(b) for b in bits]).astype(np.float32)
+    soft_j = jnp.asarray(np.clip((soft * 2 - 1) * 127 + 128, 0, 255))
+    dec = viterbi_decode_soft_pallas(soft_j, chunk=52)
+    jax.block_until_ready(dec)
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        dec = viterbi_decode_soft_pallas(soft_j, chunk=52)
+    jax.block_until_ready(dec)
+    dt = (time.perf_counter() - t0) / n_iter
+    return B * T / dt / 1e6
+
+
+def main():
+    full = "--quick" not in sys.argv
+    chain_msps, stations, B = bench_full_chain()
+    print(f"full_chain: {chain_msps:.1f} MS/s wideband, {stations:.1f} "
+          f"stations x {B} VFOs per chip", file=sys.stderr)
+    if full:
+        try:
+            demod = bench_demod_only()
+            print(f"demod_only: {demod:.0f} MS/s audio", file=sys.stderr)
+        except Exception as e:                     # noqa: BLE001
+            print(f"demod_only failed: {e}", file=sys.stderr)
+        try:
+            vit = bench_viterbi()
+            print(f"pallas_viterbi: {vit:.1f} Mbit/s decoded", file=sys.stderr)
+        except Exception as e:                     # noqa: BLE001
+            print(f"pallas_viterbi failed: {e}", file=sys.stderr)
 
     print(json.dumps({
-        "metric": "msk_demod_throughput",
-        "value": round(msps, 3),
+        "metric": "full_chain_wideband_throughput",
+        "value": round(chain_msps, 2),
         "unit": "MSamples/s/chip",
-        "vs_baseline": round(vs_baseline, 1),
+        "vs_baseline": round(stations, 1),
     }))
 
 

@@ -1,0 +1,60 @@
+"""Mesh sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import scipy.signal as ss
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from aero_tpu.ops.design import HALFBAND_TAPS
+
+
+def test_time_sharded_filter_bit_exact():
+    from aero_tpu.parallel.time_shard import halo_filter_time_sharded
+    mesh = Mesh(np.array(jax.devices()), ("time",))
+    taps = HALFBAND_TAPS[23].astype(np.float32)
+    rng = np.random.default_rng(0)
+    x = (rng.normal(size=16384) + 1j * rng.normal(size=16384)).astype(np.complex64)
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("time")))
+    y = np.asarray(halo_filter_time_sharded(mesh, taps)(xs))
+    ref = ss.lfilter(taps, [1], x)
+    np.testing.assert_allclose(y, ref, atol=1e-5)
+
+
+def test_time_sharded_decimator_bit_exact():
+    from aero_tpu.parallel.time_shard import halo_decimate_time_sharded
+    mesh = Mesh(np.array(jax.devices()), ("time",))
+    taps = HALFBAND_TAPS[11].astype(np.float32)
+    rng = np.random.default_rng(1)
+    x = (rng.normal(size=16384) + 1j * rng.normal(size=16384)).astype(np.complex64)
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("time")))
+    y = np.asarray(halo_decimate_time_sharded(mesh, taps, 2)(xs))
+    ref = ss.lfilter(taps, [1], x)[::2]
+    np.testing.assert_allclose(y, ref, atol=1e-5)
+
+
+def test_msk_vfo_bank_sharded_consistent():
+    from aero_tpu.parallel.vfo_bank import MskVfoBank
+    from aero_tpu.models.msk import msk_modulate
+    rng = np.random.default_rng(2)
+    bits = rng.integers(0, 2, 4000).astype(np.uint8)
+    sig = msk_modulate(bits, 24000, 1200, freq=1000.0)[:16000]
+    bank = MskVfoBank(8, 24000.0, 1200.0)
+    out = bank.process_block(np.tile(sig, (8, 1)))
+    soft = np.asarray(out["soft_bits"])
+    assert soft.shape == (8, 800)
+    for r in range(1, 8):
+        np.testing.assert_array_equal(soft[0], soft[r])
+
+
+def test_oqpsk_vfo_bank_runs():
+    from aero_tpu.parallel.vfo_bank import OqpskVfoBank
+    bank = OqpskVfoBank(4, 48000.0, 10500.0)
+    out = bank.process_block(np.zeros((4, 16000), np.float32))
+    assert np.asarray(out["soft_bits"]).shape == (4, 3500)
+
+
+def test_graft_dryrun():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
