@@ -1,0 +1,175 @@
+"""Polyphase (WOLA) filterbank channelizer: all channels in one pass.
+
+The reference channelizes with a per-VFO tree of NCO mixers and halfband
+cascades (publish/vfo.cpp) because that is what a per-sample CPU design
+affords.  On TPU the right structure is a weight-overlap-add filterbank:
+window the wideband stream with a long prototype lowpass, fold into K bins,
+FFT — every channel of a uniform grid drops out of one dense pipeline
+(SURVEY.md §7.4).
+
+Channel k of ``pfb_channelize`` is the input mixed down by k*fs/K, filtered
+by the prototype, and decimated by hop M:
+
+    z[k, m] = sum_j h[j] x[mM - j] exp(-2j pi k (mM - j) / K)
+
+With K = 128 and M = K/2 (2x oversampled) at fs = 1.536 MS/s the output
+rate is exactly 24 kHz — the native Aero 1200 bps VFO rate — and bin
+spacing is 12 kHz; an audio-rate residual mix centers any VFO exactly
+(`pfb_extract_vfo`).
+
+All dense: one [F, L] gather, an elementwise window multiply, a fold and a
+length-K FFT per hop.  State is the last L-M input samples.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aero_tpu.ops.design import low_pass_design
+
+
+@functools.lru_cache(maxsize=None)
+def pfb_prototype(K: int, taps_per_branch: int = 8, fs: float = 1.0,
+                  cutoff_frac: float = 0.5) -> np.ndarray:
+    """Prototype lowpass, length P*K, cutoff cutoff_frac * (fs/K)/2... in
+    normalized terms: passband edge at cutoff_frac of the bin spacing."""
+    L = taps_per_branch * K
+    # cutoff at half the bin spacing (critically flat across the bin)
+    cut = cutoff_frac / K
+    taps = low_pass_design(1.0, 1.0, cut, 0.8 / K, ntaps=L - 1)
+    taps = np.append(taps, 0.0)
+    return (taps / np.sum(taps) * K).astype(np.float32)
+
+
+def pfb_init(K: int, taps_per_branch: int = 8, batch_shape=()):
+    L = taps_per_branch * K
+    M = K // 2
+    return jnp.zeros(batch_shape + (L - M,), jnp.complex64)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "taps_per_branch"))
+def pfb_channelize(state, x, K: int, taps_per_branch: int = 8):
+    """x: [T] complex wideband (T % (K//2) == 0).
+
+    Returns (new_state, z [K, T//(K//2)]) — K channels, 2x oversampled,
+    channel k centered at k*fs/K (k > K/2 wraps to negative).
+    """
+    M = K // 2
+    L = taps_per_branch * K
+    T = x.shape[-1]
+    F = T // M
+
+    xp = jnp.concatenate([state, x])              # [T + L - M]
+    idx = jnp.arange(L)[None, :] + M * jnp.arange(F)[:, None]
+    frames = xp[idx]                              # [F, L]; frame m = x[mM-L+M .. mM+M)
+
+    h = jnp.asarray(pfb_prototype(K, taps_per_branch))
+    # z[k,m] = sum_j h[j] x[mM-j] e^{-2pi i k (mM-j)/K}
+    #        = e^{-2pi i k mM/K} sum_j h[j] x[mM-j] e^{+2pi i k j/K}
+    # frame index: frames[m, i] = xp[mM + i] = x[mM + i - (L - M)]
+    # let j = M - 1 - (i - (L - M)) ... implement via reversed window:
+    w = frames * h[::-1][None, :]
+    folded = w.reshape(F, taps_per_branch, K).sum(axis=1)   # [F, K]
+    # with output time n_m = mM + M - 1 (frame's newest sample):
+    #   z[k,m] = e^{-2pi i k n_m / K} e^{-2pi i k / K} FFT_k(folded[m])
+    #          = e^{-2pi i k (m+1) M / K} FFT_k(folded[m])
+    z = jnp.fft.fft(folded, axis=-1)
+    m = jnp.arange(F)
+    k = jnp.arange(K)
+    tw = jnp.exp(-2j * jnp.pi
+                 * (k[None, :] * (((m[:, None] + 1) * M) % K)) / K)
+    z = z * tw.astype(jnp.complex64)
+    new_state = xp[-(L - M):]
+    return new_state, jnp.transpose(z)                      # [K, F]
+
+
+def pfb_bin_for_freq(freq_hz: float, fs: float, K: int) -> int:
+    """Nearest bin index for a baseband frequency (may be negative)."""
+    return int(np.round(freq_hz / (fs / K))) % K
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def pfb_extract_vfo(z_k, phase, residual_norm, K: int):
+    """Residual-mix one PFB channel to center a VFO exactly.
+
+    z_k: [F] channel samples at rate fs/(K//2); residual_norm = residual
+    frequency in cycles per OUTPUT sample.  Returns (new_phase, centered
+    complex baseband).
+    """
+    F = z_k.shape[-1]
+    n = jnp.arange(F, dtype=jnp.float32)
+    ramp = phase + residual_norm * n
+    osc = jnp.exp(-2j * jnp.pi * jnp.mod(ramp, 1.0)).astype(jnp.complex64)
+    new_phase = jnp.mod(phase + residual_norm * F, 1.0)
+    return new_phase, z_k * osc
+
+
+class PfbChannelizer:
+    """Drop-in alternative to ``Channelizer`` for uniform-rate VFO banks.
+
+    Groups sub VFOs by output rate; each group gets one K = 2*fs/out_rate
+    filterbank pass, then a vmapped residual mix + real-audio conversion
+    per VFO.  Main-VFO IQ topics are not supported here (use the classic
+    tree channelizer for those).
+    """
+
+    def __init__(self, cfg, audio_center: float = 1000.0, gain: float = 10.0):
+        from collections import defaultdict
+        self.cfg = cfg
+        self.fs = cfg.sample_rate
+        self.audio_center = audio_center
+        self.gain = gain
+        assert not any(m.topic for m in cfg.mains), \
+            "PFB backend serves sub-VFO audio only"
+        self.groups = defaultdict(list)
+        for i, s in enumerate(cfg.subs):
+            self.groups[s.out_rate].append(i)
+        self._state = {}
+        self._phase = {}
+        self._params = {}
+        for out_rate, idxs in self.groups.items():
+            K = int(round(2 * self.fs / out_rate))
+            assert abs(2 * self.fs / out_rate - K) < 1e-9, \
+                f"out_rate {out_rate} incompatible with fs {self.fs}"
+            bins = []
+            resid = []
+            for i in idxs:
+                s = self.cfg.subs[i]
+                delta = s.freq - cfg.center_frequency
+                k = pfb_bin_for_freq(delta, self.fs, K)
+                kc = k if k < K // 2 else k - K
+                r = delta - kc * self.fs / K
+                bins.append(k)
+                # USB-audio convention: audio frequency = signal - rf, so
+                # the bin output only needs the -r residual shift
+                resid.append(-r / out_rate)
+            self._params[out_rate] = (K, np.asarray(bins),
+                                      jnp.asarray(np.asarray(resid, np.float32)))
+            self._state[out_rate] = pfb_init(K)
+            self._phase[out_rate] = jnp.zeros(len(idxs), jnp.float32)
+
+    def process(self, iq: np.ndarray) -> list:
+        """iq [T] complex64 -> [(topic, out_rate, int16 audio payload), ...]"""
+        out = []
+        x = jnp.asarray(np.asarray(iq, np.complex64))
+        for out_rate, idxs in self.groups.items():
+            K, bins, resid = self._params[out_rate]
+            self._state[out_rate], z = pfb_channelize(
+                self._state[out_rate], x, K)
+            zb = z[jnp.asarray(bins)]                    # [B, F]
+            F = zb.shape[1]
+            n = jnp.arange(F, dtype=jnp.float32)
+            ramp = self._phase[out_rate][:, None] + resid[:, None] * n
+            osc = jnp.exp(2j * jnp.pi * jnp.mod(ramp, 1.0)).astype(jnp.complex64)
+            self._phase[out_rate] = jnp.mod(
+                self._phase[out_rate] + resid * F, 1.0)
+            audio = (zb * osc).real * self.gain * 32768.0
+            audio = np.asarray(audio)
+            for row, i in enumerate(idxs):
+                pcm = np.clip(audio[row], -32767, 32767).astype("<i2")
+                out.append((self.cfg.subs[i].topic, out_rate, pcm.tobytes()))
+        return out

@@ -48,10 +48,14 @@ class Station:
     """Host driver for the full chain."""
 
     def __init__(self, cfg: ChannelizerConfig, on_acars=None, mesh=None,
-                 station_id: str = "AERO-TPU"):
+                 station_id: str = "AERO-TPU", backend: str = "tree"):
         self.cfg = cfg
         self.station_id = station_id
-        self.channelizer = Channelizer(cfg)
+        if backend == "pfb":
+            from aero_tpu.channelizer.pfb import PfbChannelizer
+            self.channelizer = PfbChannelizer(cfg)
+        else:
+            self.channelizer = Channelizer(cfg)
         self.on_acars = on_acars or (lambda vfo, item: None)
         self.stats = StationStats()
 
