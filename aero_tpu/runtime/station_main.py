@@ -1,0 +1,120 @@
+"""aero-station CLI: the full receive chain in one process.
+
+The configuration aero-cli cannot express (SURVEY.md §2.5): one wideband
+IQ stream, every VFO channelized + demodulated + decoded in-process, ACARS
+on stdout/forwarders, periodic stats on stderr.
+
+Usage:
+  python -m aero_tpu.runtime.station_main -c settings.ini --iq-file wide.cf32
+  python -m aero_tpu.runtime.station_main -c settings.ini --iq-stdin \
+      --backend pfb --format jsondump -f jsondump=tcp://host:5571
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import socket
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="aero-station",
+        description="TPU-native full-chain Inmarsat Aero station")
+    p.add_argument("-c", "--settings", required=True)
+    p.add_argument("--iq-file", default=None, help="cf32 interleaved IQ")
+    p.add_argument("--iq-stdin", action="store_true")
+    p.add_argument("--loop", action="store_true")
+    p.add_argument("--backend", default="tree", choices=["tree", "pfb"])
+    p.add_argument("--format", default="jsondump",
+                   choices=["jaero", "jsondump", "text"])
+    p.add_argument("-s", "--station-id",
+                   default=f"{socket.gethostname()}-AERO-INMARSAT")
+    p.add_argument("-f", "--forwarder", action="append", default=[],
+                   metavar="FMT=URL")
+    p.add_argument("--platform", default=None,
+                   help="JAX platform override (e.g. cpu)")
+    p.add_argument("--stats-every", type=float, default=10.0,
+                   help="seconds between stats lines on stderr")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    from aero_tpu.channelizer import load_ini
+    from aero_tpu.runtime.station import Station
+    from aero_tpu.io.output import to_output_format
+    from aero_tpu.io.forwarder import ForwardTarget, parse_forwarder
+    from aero_tpu.protocol.acars_apps import enrich
+
+    cfg = load_ini(args.settings)
+    targets = [ForwardTarget(parse_forwarder(s)) for s in args.forwarder]
+
+    def on_acars(topic, item):
+        enrich(item)
+        line = to_output_format(args.format, args.station_id, False, item)
+        print(line, flush=True)
+        for t in targets:
+            t.send(to_output_format(t.spec.fmt, args.station_id, False, item))
+
+    st = Station(cfg, on_acars=on_acars, station_id=args.station_id,
+                 backend=args.backend)
+    B = cfg.buflen_complex
+    last_stats = time.time()
+
+    def pump(reader):
+        nonlocal last_stats
+        carry = np.zeros(0, np.complex64)
+        for chunk in reader:
+            carry = np.concatenate([carry, chunk])
+            while len(carry) >= B:
+                st.process(carry[:B])
+                carry = carry[B:]
+            if time.time() - last_stats >= args.stats_every:
+                last_stats = time.time()
+                s = st.stats
+                print(json.dumps({
+                    "stats": {
+                        "wideband_samples": s.wideband_samples,
+                        "realtime_factor": round(
+                            s.realtime_factor / cfg.sample_rate, 2),
+                        "frames": s.frames, "su_ok": s.su_ok,
+                        "su_bad": s.su_bad, "acars": s.acars,
+                    }}), file=sys.stderr, flush=True)
+
+    if args.iq_file:
+        def reader():
+            while True:
+                yield np.fromfile(args.iq_file, dtype=np.complex64)
+                if not args.loop:
+                    return
+        pump(reader())
+    elif args.iq_stdin:
+        def reader():
+            while True:
+                raw = sys.stdin.buffer.read(B * 8)
+                if not raw:
+                    return
+                yield np.frombuffer(raw, np.complex64)
+        pump(reader())
+    else:
+        print("no input: use --iq-file or --iq-stdin", file=sys.stderr)
+        return 2
+
+    s = st.stats
+    print(json.dumps({"final_stats": {
+        "wideband_samples": s.wideband_samples,
+        "frames": s.frames, "su_ok": s.su_ok, "su_bad": s.su_bad,
+        "acars": s.acars}}), file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
