@@ -48,7 +48,10 @@ def coarse_freq_estimate(y_state, x, *, nfft: int, fb: float, fs: float,
     S = jnp.fft.fftshift(jnp.fft.fft(sq, axis=-1), axes=-1)
 
     db = 10.0 * jnp.log10(jnp.maximum(jnp.abs(S), 1.0))
-    y = y_state * 0.9 + 0.1 * db
+    # the reference smooths 0.9/0.1 per FFT at ~4 overlapped FFTs/s
+    # (mskdemodulator.cpp:287, coarsefreqestimate.cpp:116); at our one FFT
+    # per ~0.7 s block, 0.7/0.3 gives the same effective time constant
+    y = y_state * 0.7 + 0.3 * db
 
     # fold at +-expectedpeakbin with a 3-bin sum (ref: :119-141)
     def fold_sum(yv):

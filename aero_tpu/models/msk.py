@@ -104,7 +104,7 @@ def msk_init(cfg: MskConfig) -> MskState:
         have_lock_refs=jnp.asarray(False),
         diff_im=jnp.asarray(-1.0, jnp.float32),
         diff_re=jnp.asarray(-1.0, jnp.float32),
-        mse=jnp.asarray(10.0, jnp.float32),
+        mse=jnp.asarray(2.0, jnp.float32),
     )
 
 
@@ -283,6 +283,13 @@ def msk_step(state: MskState, samples, cfg: MskConfig):
     mse = 0.7 * state.mse + 0.3 * blk_mse
     locked = mse < cfg.signal_threshold
 
+    # Eb/N0 estimate from the matched-filter envelope (scale-invariant;
+    # ref MSKEbNoMeasure/OQPSKEbNoMeasure, DSP.cpp:482-508/691-727)
+    from aero_tpu.ops.stats import msk_ebno
+    _m = jnp.mean(mag)
+    _v = jnp.mean(mag * mag) - _m * _m
+    ebno_db = msk_ebno(_m, _v)
+
     # AFC: while unlocked, retune by the coarse estimate (relative to the
     # current mix freq; hysteresis avoids FFT-bin flapping).  Flood the
     # smoothed spectrum on retune (ref bigchange()).
@@ -307,6 +314,7 @@ def msk_step(state: MskState, samples, cfg: MskConfig):
         "fine_offset": df * cfg.fs,
         "tone_quality": quality,
         "signal": locked,
+        "ebno": ebno_db,
         "theta": theta,
         "grid": grid,
     }

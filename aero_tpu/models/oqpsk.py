@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from aero_tpu.ops import (nco_init, nco_mix, fir_init, fir_apply,
                           root_raised_cosine, block_agc)
+from aero_tpu.ops.fir import fir_apply_fft
 from aero_tpu.models.coarse_freq import coarse_freq_init, coarse_freq_estimate
 from aero_tpu.models.msk import _tone_pair_sync
 
@@ -87,9 +88,13 @@ def make_config(fs: float, fb: float, block_len: int = 16000,
     alpha = 0.6 if fb == 8400 else 1.0
     step = fs / fb
     tail_len = int(np.ceil(4 * step)) + 2
+    # at 8400 the reference replaces the 55-tap MF with a 2048-tap RRC
+    # fast-convolution prefilter for adjacent-channel rejection
+    # (ref: oqpskdemodulator.cpp:239-249, 376-386)
+    ntaps = 2049 if fb == 8400 else 55
     return OqpskConfig(fs, fb, block_len, nfft, lockingbw, freq_center,
                        signal_threshold, fine_span_hz, fine_step_hz, alpha,
-                       55, tail_len)
+                       ntaps, tail_len)
 
 
 def oqpsk_init(cfg: OqpskConfig) -> OqpskState:
@@ -103,7 +108,7 @@ def oqpsk_init(cfg: OqpskConfig) -> OqpskState:
         theta=jnp.asarray(0.0, jnp.float32),
         grid=jnp.asarray(0.0, jnp.float32),
         have_lock_refs=jnp.asarray(False),
-        mse=jnp.asarray(10.0, jnp.float32),
+        mse=jnp.asarray(2.0, jnp.float32),
     )
 
 
@@ -123,7 +128,10 @@ def oqpsk_step(state: OqpskState, samples, cfg: OqpskConfig):
 
     taps = jnp.asarray(root_raised_cosine(cfg.alpha, cfg.ntaps, cfg.fs,
                                           cfg.fb / 2.0), jnp.float32)
-    mf_state, y = fir_apply(state.mf_state, bb, taps)
+    if cfg.ntaps > 256:
+        mf_state, y = fir_apply_fft(state.mf_state, bb, taps)
+    else:
+        mf_state, y = fir_apply(state.mf_state, bb, taps)
 
     agc_ema, gain = block_agc(state.agc_ema, jnp.abs(y))
     y = y * gain
@@ -208,6 +216,13 @@ def oqpsk_step(state: OqpskState, samples, cfg: OqpskConfig):
     mse = 0.7 * state.mse + 0.3 * blk_mse
     locked = mse < cfg.signal_threshold
 
+    # Eb/N0 estimate from the matched-filter envelope (scale-invariant;
+    # ref MSKEbNoMeasure/OQPSKEbNoMeasure, DSP.cpp:482-508/691-727)
+    from aero_tpu.ops.stats import msk_ebno
+    _m = jnp.mean(mag)
+    _v = jnp.mean(mag * mag) - _m * _m
+    ebno_db = msk_ebno(_m, _v)
+
     retune_threshold = 1.6 * (cfg.fs / cfg.nfft)
     retune = jnp.logical_not(locked) & (jnp.abs(dfc) > retune_threshold)
     freq = jnp.where(retune, state.freq + dfc, state.freq)
@@ -226,6 +241,7 @@ def oqpsk_step(state: OqpskState, samples, cfg: OqpskConfig):
         "fine_offset": df * cfg.fs,
         "tone_quality": quality,
         "signal": locked,
+        "ebno": ebno_db,
         "grid": grid,
     }
     return new_state, out

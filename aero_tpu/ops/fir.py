@@ -87,6 +87,26 @@ def fir_decimate_apply(state, x, taps, factor: int):
     return new_state, y
 
 
+def fir_apply_fft(state, x, taps):
+    """Causal FIR via FFT convolution (overlap-save) — for long kernels
+    (e.g. the 2048-tap 8400 bps RRC prefilter, ref: oqpskdemodulator.cpp:
+    239-249 JFastFir).  Same contract and results as fir_apply."""
+    import jax.scipy.signal as jss
+
+    taps = jnp.asarray(taps)
+    k = taps.shape[0]
+    xp = jnp.concatenate([state, x], axis=-1)
+    if jnp.iscomplexobj(xp) and not jnp.iscomplexobj(taps):
+        taps = taps.astype(xp.dtype)
+    y = jss.fftconvolve(xp, taps, mode="valid")
+    if jnp.iscomplexobj(xp):
+        y = y.astype(jnp.complex64)
+    else:
+        y = y.astype(x.dtype)
+    new_state = xp[..., -(k - 1):] if k > 1 else state
+    return new_state, y
+
+
 def delay_init(n: int, batch_shape=(), dtype=jnp.float32):
     """Integer delay line state (the reference's DelayThing,
     decode/DSP.h:446-486)."""

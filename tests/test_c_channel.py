@@ -54,3 +54,21 @@ def test_c_channel_modem_roundtrip(cfo, snr):
     assert sum(any(e.voice == f[1] for e in evs) for f in frames) == 3
     assert sum(any([s for s, _, _ in e.signalling] == f[0] for e in evs)
                for f in frames) == 3
+
+
+def test_c_channel_adjacent_interferer():
+    """The 2048-tap RRC prefilter must reject a 3x-stronger adjacent
+    channel at +12.5 kHz (ref: oqpskdemodulator.cpp:239-249)."""
+    rng = np.random.default_rng(0)
+    frames = _frames(rng, 2)
+    bits = build_c_frames(frames, lead_frames=3)
+    sig = oqpsk_modulate(bits, 48000, 8400, freq=8000.0)
+    ib = rng.integers(0, 2, len(bits)).astype(np.uint8)
+    intf = oqpsk_modulate(ib, 48000, 8400, freq=20500.0, amplitude=0.75)
+    n = min(len(sig), len(intf))
+    mix = (sig[:n] + intf[:n] + rng.normal(0, 0.01, n)).astype(np.float32)
+    dm = OqpskDemodulator(48000, 8400)
+    outs = dm.process(np.concatenate([mix, np.zeros(48000, np.float32)]))
+    soft = np.concatenate([o["soft_bits"] for o in outs]).astype(np.float32)
+    evs = CChannelFramer().feed(soft)
+    assert sum(any(e.voice == f[1] for e in evs) for f in frames) == 2
