@@ -41,6 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="decode a WAV/raw-PCM file instead of ZMQ")
     p.add_argument("--input-rate", type=int, default=None,
                    help="sample rate for raw input files")
+    p.add_argument("--voice-out", default=None,
+                   help="write C-channel voice codec frames to this file")
     p.add_argument("--platform", default="cpu",
                    help="JAX platform for this process (default cpu: a "
                         "single-VFO decoder is host-scale work — the TPU "
@@ -64,6 +66,7 @@ def main(argv=None) -> int:
         forwarders=args.forwarder,
         disable_reassembly=args.disable_reassembly,
         no_signal_exit=args.no_signal_exit,
+        voice_out=args.voice_out,
         verbose=args.verbose,
     )
     dec = Decoder(opts)

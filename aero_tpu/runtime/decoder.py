@@ -2,11 +2,18 @@
 ACARS -> output/forwarders for one VFO stream.
 
 Python equivalent of the reference's Decoder orchestrator
-(ref: decode/decode.cpp:72-455): demodulator choice by (bitrate, burst)
-(decode.cpp:123-159: Fs=12000 @600, 24000 @1200, 48000 otherwise), signal
-hunter wiring (decode.cpp:161-241: C-band scan (0,25000,10500), L-band
-(0,6000,900)), console output + TCP/UDP forwarding of every ACARS item
-(decode.cpp:368-455).
+(ref: decode/decode.cpp:72-455): demodulator + framing choice by
+(bitrate, burst):
+
+  600/1200 continuous  -> MskDemodulator   + PChannelFramer  (P channel)
+  10500 continuous     -> OqpskDemodulator + PChannelFramer  (C-band P)
+  8400                 -> OqpskDemodulator + CChannelFramer  (C channel)
+  600/1200 burst       -> BurstMskDemodulator   + RTChannelFramer
+  10500 burst          -> BurstOqpskDemodulator + RTChannelFramer (oqpsk)
+
+Fs by bitrate (decode.cpp:145), signal-hunter scan ranges (decode.cpp:
+161-198), console output + TCP/UDP forwarding per ACARS item
+(decode.cpp:368-455), libacars-equivalent enrichment (decode.cpp:401).
 """
 
 from __future__ import annotations
@@ -37,6 +44,7 @@ class DecoderOptions:
     forwarders: list = field(default_factory=list)
     disable_reassembly: bool = False
     no_signal_exit: bool = False
+    voice_out: str | None = None
     verbose: int = 0
 
 
@@ -44,16 +52,18 @@ class Decoder:
     def __init__(self, opts: DecoderOptions):
         self.opts = opts
         self.fs = fs_for_bitrate(opts.bitrate)
-        self._make_demod()
-        self.framer = PChannelFramer(opts.bitrate) \
-            if opts.bitrate in (600, 1200, 10500) else None
-        self.dispatcher = PChannelSUDispatcher(
-            on_acars=self.handle_acars,
-            on_error=lambda msg: print(msg, file=sys.stderr),
-            downlink=opts.burst)
+        self.items = []
+        self.voice_frames = 0
+        self._voice_file = open(opts.voice_out, "wb") if opts.voice_out else None
         self.targets = [ForwardTarget(parse_forwarder(s))
                         for s in opts.forwarders]
+        self._make_demod()
+        self._make_framing()
+        # hunter: the reference counts ~6 signal reports/s with maxTries 15
+        # (~2.5 s per step); we report once per ~0.7 s block, so 4 tries
+        # give the same dwell
         self.hunter = SignalHunter(
+            max_tries=4,
             on_new_center=self._set_center,
             on_no_signal_after_scan=self._no_signal)
         if opts.bitrate > 1200:
@@ -62,18 +72,17 @@ class Decoder:
             self.hunter.set_scan_range(0, 6000, 900)      # L band
         self._buf = np.zeros(0, np.float32)
         self._no_signal_flag = False
-        self.items = []
 
-    # ---- demodulator management ----
+    # ---- construction ----
 
     def _make_demod(self):
         opts = self.opts
         if opts.burst:
-            from aero_tpu.models.burst_msk import BurstMskDemodulator
-            from aero_tpu.models.burst_oqpsk import BurstOqpskDemodulator
             if opts.bitrate > 1200:
+                from aero_tpu.models.burst_oqpsk import BurstOqpskDemodulator
                 self.demod = BurstOqpskDemodulator(self.fs, float(opts.bitrate))
             else:
+                from aero_tpu.models.burst_msk import BurstMskDemodulator
                 self.demod = BurstMskDemodulator(self.fs, float(opts.bitrate))
         elif opts.bitrate in (600, 1200):
             from aero_tpu.models.msk import MskDemodulator
@@ -82,16 +91,54 @@ class Decoder:
             from aero_tpu.models.oqpsk import OqpskDemodulator
             self.demod = OqpskDemodulator(self.fs, float(opts.bitrate))
 
+    def _make_framing(self):
+        opts = self.opts
+        self.framer = None
+        self.rt_framer = None
+        self.c_framer = None
+        if opts.burst:
+            from aero_tpu.protocol.rt_framing import RTChannelFramer
+            self.rt_framer = RTChannelFramer(
+                oqpsk=opts.bitrate > 1200,
+                on_acars=self.handle_acars,
+                on_fragment=self._handle_fragment,
+                on_error=self._handle_error)
+        elif opts.bitrate == 8400:
+            from aero_tpu.protocol.c_framing import CChannelFramer
+            self.c_framer = CChannelFramer(on_voice=self._handle_voice)
+        else:
+            self.framer = PChannelFramer(opts.bitrate)
+            self.dispatcher = PChannelSUDispatcher(
+                on_acars=self.handle_acars,
+                on_fragment=self._handle_fragment,
+                on_error=self._handle_error,
+                downlink=False)
+
+    # ---- control ----
+
     def _set_center(self, freq_center: float):
-        # block-level retune: reset the demod's carried mix frequency
-        import jax.numpy as jnp
         st = self.demod.state
+        if st is None:          # burst demods re-estimate per window
+            return
+        import jax.numpy as jnp
         self.demod.state = st._replace(
             freq=jnp.asarray(np.float32(max(freq_center, 100.0))),
-            mse=jnp.asarray(np.float32(10.0)))
+            mse=jnp.asarray(np.float32(2.0)))
 
     def _no_signal(self):
         self._no_signal_flag = True
+
+    def _handle_error(self, msg):
+        print(msg, file=sys.stderr)
+
+    def _handle_voice(self, data: bytes, hex_aes: str):
+        self.voice_frames += 1
+        if self._voice_file:
+            self._voice_file.write(data)
+
+    def _handle_fragment(self, item):
+        if self.opts.disable_reassembly:
+            self.handle_acars(item)
 
     # ---- data path ----
 
@@ -113,9 +160,22 @@ class Decoder:
 
     def _consume(self, out):
         self.hunter.update_signal_status(bool(out["signal"]))
-        self.hunter.update_dcd(self.dispatcher_dcd())
-        soft = np.asarray(out["soft_bits"], np.float32)
-        if self.framer is None:
+        soft = np.asarray(out["soft_bits"])
+        if self.rt_framer is not None:
+            for ev in self.rt_framer.feed(soft.astype(np.int16)):
+                if self.opts.verbose and ev.display:
+                    print(ev.display)
+            self.hunter.update_dcd(bool(out["signal"]))
+            return
+        soft = soft.astype(np.float32)
+        if self.c_framer is not None:
+            for ev in self.c_framer.feed(soft):
+                if self.opts.verbose:
+                    for su, ok, name in ev.signalling:
+                        if ok and name != "Fill_in_signal_unit":
+                            print(f"C: {name} "
+                                  f"{su[:10].hex().upper()}")
+            self.hunter.update_dcd(self.c_framer.locked)
             return
         for ev in self.framer.feed(soft):
             for k, ok in enumerate(ev.su_crc_ok):
@@ -124,9 +184,7 @@ class Decoder:
                         ev.infofield[k * 12:(k + 1) * 12])
                     if self.opts.verbose and line:
                         print(line)
-
-    def dispatcher_dcd(self) -> bool:
-        return self.framer.dcd if self.framer else False
+        self.hunter.update_dcd(self.framer.dcd)
 
     def handle_acars(self, item):
         from aero_tpu.protocol.acars_apps import enrich
@@ -145,12 +203,11 @@ class Decoder:
         from aero_tpu.io.zmq_transport import ZmqSubscriber
         sub = ZmqSubscriber(url, topic)
         try:
-            while not self._no_signal_flag or not self.opts.no_signal_exit:
+            while True:
                 msg = sub.recv(timeout_ms=100)
-                if msg is None:
-                    continue
-                _, rate, payload = msg
-                self.feed_audio(payload, rate)
+                if msg is not None:
+                    _, rate, payload = msg
+                    self.feed_audio(payload, rate)
                 if self._no_signal_flag and self.opts.no_signal_exit:
                     break
         finally:
@@ -171,3 +228,6 @@ class Decoder:
         # flush with silence so trailing frames decode
         pad = np.zeros(2 * self.demod.cfg.block_len, np.float32)
         self.feed_audio((pad * 32767).astype("<i2").tobytes(), rate)
+        if self._voice_file:
+            self._voice_file.close()
+            self._voice_file = None

@@ -129,3 +129,55 @@ def test_decoder_runtime_file(tmp_path, capsys):
     assert js["isu"]["acars"]["reg"] == "N42TPU"
     assert "RUNTIME TEST MSG" in js["isu"]["acars"]["msg_text"]
     assert js["station"] == "TEST"
+
+
+def _wav(path, audio, rate):
+    import wave
+    pcm = np.clip(audio * 32767, -32767, 32767).astype("<i2")
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+
+
+def test_decoder_runtime_burst(tmp_path):
+    from aero_tpu.models.msk import msk_modulate
+    from aero_tpu.protocol.rt_framing import build_t_burst
+    from aero_tpu.protocol.isu import make_acars_userdata, segment_isu
+    from aero_tpu.runtime.decoder import Decoder, DecoderOptions
+
+    sus = segment_isu(make_acars_userdata("2", "NBURST", "!", "H1", "A",
+                                          "BURST RUNTIME"), 0x333444, 0x41)
+    bits = build_t_burst(0x333444, 0x41, sus, preamble_bits=96)
+    a = np.concatenate([np.zeros(30000, np.float32),
+                        msk_modulate(bits, 12000, 600, freq=3100.0,
+                                     amplitude=0.3),
+                        np.zeros(40000, np.float32)])
+    p = tmp_path / "b.wav"
+    _wav(p, a, 12000)
+    dec = Decoder(DecoderOptions(bitrate=600, burst=True, fmt="text"))
+    dec.run_file(str(p))
+    assert [i.message for i in dec.items] == ["BURST RUNTIME"]
+
+
+def test_decoder_runtime_8400_voice(tmp_path):
+    from aero_tpu.models.oqpsk import oqpsk_modulate
+    from aero_tpu.protocol.c_framing import build_c_frames
+    from aero_tpu.protocol.crc import append_crc16_bytes
+    from aero_tpu.runtime.decoder import Decoder, DecoderOptions
+
+    rng = np.random.default_rng(0)
+    frames = [([append_crc16_bytes(bytes([0x30]) + bytes(
+        rng.integers(0, 256, 9, dtype=np.uint8).tolist())) for _ in range(3)],
+        bytes(rng.integers(0, 256, 300, dtype=np.uint8).tolist()))
+        for _ in range(2)]
+    p = tmp_path / "c.wav"
+    vout = tmp_path / "voice.bin"
+    _wav(p, oqpsk_modulate(build_c_frames(frames, lead_frames=3), 48000,
+                           8400, freq=8000.0), 48000)
+    dec = Decoder(DecoderOptions(bitrate=8400, voice_out=str(vout)))
+    dec.run_file(str(p))
+    assert dec.voice_frames >= 2
+    data = vout.read_bytes()
+    assert frames[0][1] in data and frames[1][1] in data
