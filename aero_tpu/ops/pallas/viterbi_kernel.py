@@ -155,15 +155,26 @@ def branch_metrics(soft):
     return jnp.transpose(bm, (1, 0, 2))
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
-def viterbi_decode_soft_pallas(soft, chunk: int = 64, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret", "max_b"))
+def viterbi_decode_soft_pallas(soft, chunk: int = 64, interpret: bool = False,
+                               max_b: int = 128):
     """Batched soft Viterbi with the Pallas ACS sweep.
 
     soft: [B, 2T] soft bytes; T must be a multiple of ``chunk``
     (pad with neutral 128s to round up).  Returns hard bits [B, T].
+
+    The batch is processed in slices of ``max_b`` so the survivor block
+    stays within the scoped-VMEM budget (surv is [T, B, 64] int8).
     """
     pred_np, _ = _tables()
     pred = jnp.asarray(pred_np)
+
+    B = soft.shape[0]
+    if B > max_b:
+        parts = [viterbi_decode_soft_pallas(soft[i:i + max_b], chunk=chunk,
+                                            interpret=interpret, max_b=max_b)
+                 for i in range(0, B, max_b)]
+        return jnp.concatenate(parts, axis=0)
 
     bm = branch_metrics(soft)                       # [T, B, 4]
     surv, pm_final = viterbi_acs_pallas(bm, chunk=chunk, interpret=interpret)

@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 
 def halo_filter_time_sharded(mesh: Mesh, taps, axis: str = "time"):
@@ -47,8 +46,8 @@ def halo_filter_time_sharded(mesh: Mesh, taps, axis: str = "time"):
             return (tr + 1j * ti).astype(jnp.complex64)
         return jnp.convolve(xp, taps[::-1], mode="valid")
 
-    fn = shard_map(local, mesh=mesh, in_specs=P(axis),
-                   out_specs=P(axis), check_rep=False)
+    fn = jax.shard_map(local, mesh=mesh, in_specs=P(axis),
+                       out_specs=P(axis), check_vma=False)
     return jax.jit(fn)
 
 
@@ -83,6 +82,6 @@ def halo_decimate_time_sharded(mesh: Mesh, taps, factor: int,
             return (conv(xp.real) + 1j * conv(xp.imag)).astype(jnp.complex64)
         return conv(xp)
 
-    fn = shard_map(local, mesh=mesh, in_specs=P(axis),
-                   out_specs=P(axis), check_rep=False)
+    fn = jax.shard_map(local, mesh=mesh, in_specs=P(axis),
+                       out_specs=P(axis), check_vma=False)
     return jax.jit(fn)

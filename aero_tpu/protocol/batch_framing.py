@@ -1,0 +1,110 @@
+"""Batched device-side P-channel frame decoding.
+
+At 10^5 real-time VFOs per chip (the demodulator bank's measured capacity),
+per-VFO host Python framing is the bottleneck.  This module decodes BATCHES
+of aligned frames — from many VFOs and/or many frames per VFO — in one jit
+call:
+
+    deinterleave     gather with the static 64xN permutation
+    Viterbi          Pallas ACS kernel (ops/pallas) on TPU, scan elsewhere
+    descramble       XOR with the broadcast keystream row
+    CRC-16           GF(2) affine map as an MXU matmul: the CRC of an
+                     80-bit SU body is linear over GF(2), so
+                     crc(m) = (m @ M) mod 2 xor crc(0)
+
+Host code only finds UW alignments (cheap) and slices frames; all math is
+dense.  Trellis continuity across frames is preserved by passing each
+frame's 62-soft-bit history prefix (same economy as StreamingViterbi).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aero_tpu.protocol.crc import crc16_bits
+from aero_tpu.protocol.scrambler import SCRAMBLE_KEYSTREAM
+from aero_tpu.protocol.interleaver import deinterleave_indices
+from aero_tpu.protocol.framing import FRAME_SPECS
+from aero_tpu.protocol.viterbi import viterbi_decode_soft
+
+HISTORY = 62
+LOOKAHEAD = 48
+
+
+@functools.lru_cache(maxsize=None)
+def _crc_matrix(nbits: int = 80):
+    """M [nbits, 16] and c0 [16] with crc(m) = (m @ M) % 2 ^ c0 (bit k of
+    the CRC in column k)."""
+    c0 = crc16_bits(np.zeros(nbits, np.uint8))
+    M = np.zeros((nbits, 16), np.float32)
+    for i in range(nbits):
+        e = np.zeros(nbits, np.uint8)
+        e[i] = 1
+        v = crc16_bits(e) ^ c0
+        M[i] = [(v >> k) & 1 for k in range(16)]
+    c0v = np.asarray([(c0 >> k) & 1 for k in range(16)], np.float32)
+    return M, c0v
+
+
+def crc16_check_batch(su_bits):
+    """su_bits: [N, 96] 0/1 — returns bool [N] (body CRC == stored CRC)."""
+    M, c0 = _crc_matrix(80)
+    su_bits = jnp.asarray(su_bits, jnp.float32)
+    calc = jnp.mod(su_bits[:, :80] @ jnp.asarray(M), 2.0)
+    calc = jnp.mod(calc + jnp.asarray(c0), 2.0)
+    # stored CRC: bits[80+k] = crc bit k (LSB-first byte layout)
+    rec = su_bits[:, 80:96]
+    return jnp.all(calc == rec, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("rate", "use_pallas"))
+def batch_decode_p_frames(soft_payloads, prefixes, *, rate: int,
+                          use_pallas: bool = False):
+    """Decode N aligned P-channel frame payloads in one call.
+
+    soft_payloads: [N, payload_soft_bits] soft bytes (after arm-flip
+    correction); prefixes: [N, 62] soft bytes of the coded stream
+    immediately before each payload (128s when unknown).
+
+    Returns dict(info_bits [N, info], su_ok [N, n_su]).
+    """
+    spec = FRAME_SPECS[rate]
+    N = soft_payloads.shape[0]
+    blocklen = 64 * spec.cols
+    didx = jnp.asarray(deinterleave_indices(spec.cols))
+
+    payload = jnp.asarray(soft_payloads, jnp.float32).reshape(
+        N, spec.blocks_per_frame, blocklen)
+    deint = jnp.take(payload, didx, axis=2).reshape(N, -1)
+
+    buf = jnp.concatenate(
+        [jnp.asarray(prefixes, jnp.float32), deint,
+         jnp.full((N, LOOKAHEAD), 128.0, jnp.float32)], axis=1)
+
+    if use_pallas:
+        from aero_tpu.ops.pallas.viterbi_kernel import viterbi_decode_soft_pallas
+        T2 = buf.shape[1] // 2
+        # pad to a multiple of the pallas chunk
+        chunk = 52
+        pad = (-T2) % chunk
+        bufp = jnp.concatenate(
+            [buf, jnp.full((N, 2 * pad), 128.0, jnp.float32)], axis=1)
+        bits_all = viterbi_decode_soft_pallas(bufp, chunk=chunk)
+    else:
+        bits_all = jax.vmap(viterbi_decode_soft)(buf)
+
+    h = HISTORY // 2
+    info_scrambled = bits_all[:, h: h + spec.payload_info_bits]
+    ks = jnp.asarray(SCRAMBLE_KEYSTREAM[: spec.payload_info_bits], jnp.uint8)
+    info = jnp.bitwise_xor(info_scrambled.astype(jnp.uint8), ks)
+
+    n_su = spec.payload_info_bits // 96
+    su = info[:, : n_su * 96].reshape(N * n_su, 96)
+    ok = crc16_check_batch(su).reshape(N, n_su)
+    # all-zero SUs pass (ref: aerol.cpp:1537-1543)
+    zeros = jnp.all(su == 0, axis=1).reshape(N, n_su)
+    return {"info_bits": info, "su_ok": ok | zeros}
