@@ -18,7 +18,6 @@ Per-VFO chains (matching the reference semantics):
 
 from __future__ import annotations
 
-import functools
 from collections import defaultdict
 
 import numpy as np

@@ -12,7 +12,6 @@ existing SDRReceiver/JAERO feeders.
 from __future__ import annotations
 
 import struct
-import time
 
 try:
     import zmq

@@ -13,8 +13,6 @@ convolutions (TPU convs run on the MXU which is real-valued).
 
 from __future__ import annotations
 
-import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -9,14 +9,13 @@ back [B, bits/block] for the host-side deframers.
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from aero_tpu.models.msk import MskConfig, make_config, msk_init, msk_step
+from aero_tpu.models.msk import make_config, msk_init, msk_step
 from aero_tpu.parallel.mesh import make_mesh, shard_over_vfo
 
 

@@ -26,7 +26,7 @@ from aero_tpu.protocol.scrambler import scramble_bits
 from aero_tpu.protocol.interleaver import (deinterleave_indices,
                                            interleave_indices,
                                            depuncture_soft, puncture_soft)
-from aero_tpu.protocol.viterbi import StreamingViterbi, conv_encode
+from aero_tpu.protocol.viterbi import StreamingViterbi
 from aero_tpu.protocol.framing import bits_to_bytes_lsb, bytes_to_bits_lsb
 
 UW_I = 0xAB376938BCA30        # 52 bits (ref: aerol.cpp:922-925)

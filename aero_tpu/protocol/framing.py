@@ -25,9 +25,7 @@ Frame layout (ref: decode/aerol.cpp:960-1039 setSettings, 1060-2038 Decode):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Callable
-
+from dataclasses import dataclass
 import numpy as np
 
 from aero_tpu.protocol.crc import crc16_bytes

@@ -20,7 +20,7 @@ Behavioral equivalent of the reference's burst path: AeroL::Decode burstmode
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 import numpy as np
@@ -253,8 +253,7 @@ class RTChannelFramer:
 def _encode_burst_payload(info_bits: np.ndarray, rows: int,
                           oqpsk: bool) -> np.ndarray:
     from aero_tpu.protocol.viterbi import conv_encode
-    from aero_tpu.protocol.interleaver import (interleave_indices,
-                                               deinterleave_msk_burst_indices)
+    from aero_tpu.protocol.interleaver import deinterleave_msk_burst_indices
     assert len(info_bits) == rows * 32
     coded = conv_encode(scramble_bits(info_bits))
     if oqpsk:

@@ -14,7 +14,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
-from aero_tpu.protocol.isu import ISUData, ACARSItem, ISUItem
+from aero_tpu.protocol.isu import ISUData, ACARSItem
 from aero_tpu.protocol.acars import ParserISU
 
 P_MESSAGE_NAMES = {
