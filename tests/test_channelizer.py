@@ -115,3 +115,28 @@ def test_compress_nibbles():
     assert len(b) == 2
     # 0.5*128=64 -> high nibble 0x4; 0.25*128=32 -> 0x2
     assert b[0] == (64 & 0xF0) | ((32 & 0xF0) >> 4)
+
+
+def test_filter_bandwidth_rejection():
+    """Audio post-filter (filter_bandwidth INI key) rejects out-of-band
+    tones (ref fir_usb, vfo.cpp:92-102,201-206)."""
+    ini = ("sample_rate=288000\ncenter_frequency=1545000000\n[vfos]\nsize=1\n"
+           "1\\frequency=1545009000\n1\\data_rate=1200\n1\\topic=V1\n"
+           "1\\gain=100\n1\\filter_bandwidth=3000\n")
+    cfg = load_ini(ini, is_text=True)
+    ch = Channelizer(cfg)
+    fs = 288000
+    n = np.arange(cfg.buflen_complex * 2)
+    wb = (0.1 * np.exp(2j * np.pi * 10000 / fs * n)
+          + 0.1 * np.exp(2j * np.pi * 14000 / fs * n)).astype(np.complex64)
+    audio = []
+    B = cfg.buflen_complex
+    for i in range(2):
+        for t, r, p in ch.process(wb[i * B:(i + 1) * B]):
+            audio.append(np.frombuffer(p, "<i2").astype(np.float32))
+    a = np.concatenate(audio)[5000:]
+    S = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+    freqs = np.fft.rfftfreq(len(a), 1 / 24000)
+    i_in = np.argmin(np.abs(freqs - 1000))
+    i_out = np.argmin(np.abs(freqs - 5000))
+    assert 20 * np.log10(S[i_in] / max(S[i_out], 1e-9)) > 40
