@@ -39,6 +39,7 @@ class SubVfoConfig:
     main_idx: int = 0
     decim_count: int = 0
     late_decimate: int = 0     # 0, 5 or 6
+    burst: bool = False        # aero-tpu extension: R/T burst VFO
 
 
 @dataclass
@@ -161,5 +162,6 @@ def load_ini(path_or_text: str, is_text: bool = False) -> ChannelizerConfig:
             main_idx=main_idx,
             decim_count=decim,
             late_decimate=late,
+            burst=v.get("burst", "0") == "1",
         ))
     return cfg

@@ -62,8 +62,11 @@ class Station:
         # group demodulatable sub VFOs by (out_rate, data_rate): each group
         # becomes one batched TPU bank; every member gets its own deframer
         self.groups = defaultdict(list)
+        self.burst_vfos = []
         for i, s in enumerate(cfg.subs):
-            if s.data_rate in (600, 1200, 10500):
+            if getattr(s, "burst", False):
+                self.burst_vfos.append(i)
+            elif s.data_rate in (600, 1200, 10500):
                 self.groups[(s.out_rate, s.data_rate)].append(i)
         self.banks = {}
         self.framers = {}
@@ -81,6 +84,26 @@ class Station:
                     on_acars=self._mk_sink(topic))
                 self._audio_buf[topic] = np.zeros(0, np.float32)
 
+        # burst (R/T) VFOs: per-VFO window demodulators + RT framers
+        # (aero-tpu INI extension: '<n>\\burst=1')
+        self.burst_demods = {}
+        self.rt_framers = {}
+        for i in self.burst_vfos:
+            s = cfg.subs[i]
+            if s.data_rate > 1200:
+                from aero_tpu.models.burst_oqpsk import BurstOqpskDemodulator
+                demod = BurstOqpskDemodulator(float(s.out_rate),
+                                              float(s.data_rate))
+            else:
+                from aero_tpu.models.burst_msk import BurstMskDemodulator
+                demod = BurstMskDemodulator(float(s.out_rate),
+                                            float(s.data_rate))
+            from aero_tpu.protocol.rt_framing import RTChannelFramer
+            self.burst_demods[s.topic] = demod
+            self.rt_framers[s.topic] = RTChannelFramer(
+                oqpsk=s.data_rate > 1200,
+                on_acars=self._mk_sink(s.topic))
+
     def _mk_sink(self, topic):
         def sink(item):
             self.stats.acars += 1
@@ -93,9 +116,16 @@ class Station:
         outputs = self.channelizer.process(iq_block)
         audio_by_topic = {}
         for topic, rate, payload in outputs:
-            if topic in self.framers:
+            if topic in self.framers or topic in self.burst_demods:
                 audio_by_topic[topic] = np.frombuffer(payload, "<i2").astype(
                     np.float32) / 32768.0
+
+        for topic, demod in self.burst_demods.items():
+            if topic in audio_by_topic:
+                for out in demod.process(audio_by_topic[topic]):
+                    if out["burst"]:
+                        for ev in self.rt_framers[topic].feed(out["soft_bits"]):
+                            self.stats.frames += 1
 
         for key, idxs in self.groups.items():
             bank = self.banks[key]

@@ -63,3 +63,45 @@ def test_station_two_vfos():
     assert got == msgs
     assert st.stats.acars == 2
     assert st.stats.su_ok > 0
+
+
+def test_station_mixed_continuous_and_burst():
+    """One wideband: a continuous 1200 P-channel VFO + a burst 600 R/T VFO
+    (aero-tpu INI extension 'burst=1')."""
+    from aero_tpu.protocol.rt_framing import build_t_burst
+
+    fs, center = 288000, 1545000000
+    ini = (f"sample_rate={fs}\ncenter_frequency={center}\n[vfos]\nsize=2\n"
+           f"1\\frequency=1545009000\n1\\data_rate=1200\n1\\topic=P\n1\\gain=100\n"
+           f"2\\frequency=1545030000\n2\\data_rate=600\n2\\topic=R\n"
+           f"2\\gain=100\n2\\burst=1\n")
+    cfg = load_ini(ini, is_text=True)
+    assert cfg.subs[1].burst
+    rng = np.random.default_rng(4)
+
+    udp = make_acars_userdata("2", "N1CONT", "!", "H1", "A", "CONTINUOUS MSG")
+    sus = [append_crc16_bytes(b) for b in segment_isu(udp, 0x111111, 0x41)]
+    fill = append_crc16_bytes(bytes([0x01] + [0] * 9))
+    while len(sus) % 6:
+        sus.append(fill)
+    fields = [b"".join(sus[j:j + 6]) for j in range(0, len(sus), 6)]
+    s1 = _synth_msk(build_p_frames(fields, 1200, lead_frames=3), fs, 1200.0,
+                    9000 + 1000)
+    sus2 = segment_isu(make_acars_userdata("2", "N2BRST", "!", "H1", "A",
+                                           "BURST IN STATION"),
+                       0x222222, 0x41)
+    bt = build_t_burst(0x222222, 0x41, sus2, preamble_bits=96)
+    s2 = _synth_msk(bt, fs, 600.0, 30000 + 3000) * 1.6
+    pad = fs
+    n = max(len(s1), pad + len(s2)) + 4 * fs
+    wb = np.zeros(n, np.complex64)
+    wb[: len(s1)] += s1.astype(np.complex64)
+    wb[pad: pad + len(s2)] += s2.astype(np.complex64)
+    wb += (rng.normal(0, 0.003, n) + 1j * rng.normal(0, 0.003, n)).astype(np.complex64)
+
+    got = {}
+    st = Station(cfg, on_acars=lambda t, item: got.setdefault(t, item.message))
+    B = cfg.buflen_complex
+    for i in range(len(wb) // B):
+        st.process(wb[i * B:(i + 1) * B])
+    assert got == {"P": "CONTINUOUS MSG", "R": "BURST IN STATION"}
