@@ -72,3 +72,13 @@ def coarse_freq_estimate(y_state, x, *, nfft: int, fb: float, fs: float,
     # squared tone pair is centered above DC, i.e. signal sits above f_c.
     est = (loc - mid).astype(jnp.float32) * hzperbin * 0.5
     return y, est
+
+
+def spectrum_snapshot(y_state, nbins: int = 256):
+    """Decimated smoothed dB fold-spectrum for displays/telemetry
+    (the role of the reference's OrgOverlapedBuffer/Plottables GUI signals,
+    SURVEY.md §5 — emitted but headless there too)."""
+    nfft = y_state.shape[-1]
+    step = nfft // nbins
+    return jnp.max(y_state[..., : nbins * step].reshape(
+        y_state.shape[:-1] + (nbins, step)), axis=-1)

@@ -41,3 +41,16 @@ def test_database_stub():
     assert results == [(False, ref, [])]
     assert db.get_userdata(ref) == {"x": 1}
     assert "Registration" in DATABASE_SCHEMA
+
+
+def test_register_exchange_viterbi_interpret():
+    from aero_tpu.ops.pallas.viterbi_re_kernel import viterbi_decode_soft_re
+    rng = np.random.default_rng(3)
+    B, T = 4, 320
+    bits = rng.integers(0, 2, size=(B, T)).astype(np.uint8)
+    soft = np.stack([conv_encode(b) for b in bits]).astype(np.float32)
+    soft = np.clip((soft * 2 - 1 + rng.normal(0, 0.4, soft.shape)) * 127 + 128,
+                   0, 255)
+    dec = np.asarray(viterbi_decode_soft_re(jnp.asarray(soft), interpret=True))
+    assert dec.shape == (B, T)
+    assert np.sum(dec[:, :T - 8] != bits[:, :T - 8]) == 0
