@@ -46,3 +46,208 @@ def test_enrich_in_decoder_path():
     enrich(item)
     assert item.parsed["sublabel"] == "DF"
     assert item.parsed["mfi"] == "B6"
+
+
+# ---------------------------------------------------------------- ADS-C
+
+def test_adsc_basic_report_roundtrip():
+    from aero_tpu.protocol import adsc
+    payload = adsc.encode_basic_report(
+        lat=-33.946111, lon=151.177222, alt_ft=37000,
+        timestamp_s=1832.5, redundancy=True, accuracy=7, tcas=True)
+    out = adsc.decode(payload)["adsc"]
+    assert "decode_error" not in out
+    (g,) = out["groups"]
+    assert g["group"] == "basic_report"
+    assert abs(g["lat"] - -33.946111) < 2e-4
+    assert abs(g["lon"] - 151.177222) < 2e-4
+    assert g["alt_ft"] == 37000
+    assert g["timestamp_s"] == 1832.5
+    assert g["tcas_operational"] is True
+    assert g["accuracy"] == "<0.05 nm"
+
+
+def test_adsc_multi_group_message():
+    from aero_tpu.protocol import adsc
+    payload = (adsc.encode_basic_report(51.4775, -0.461389, 24004, 600.0)
+               + adsc.encode_flight_id("QFA127")
+               + adsc.encode_earth_ref(273.2, 488.5, -1200)
+               + adsc.encode_meteo(85.5, 288.3, -52.25)
+               + adsc.encode_airframe_id("7C6DB8"))
+    out = adsc.decode(payload)["adsc"]
+    assert "decode_error" not in out
+    names = [g["group"] for g in out["groups"]]
+    assert names == ["basic_report", "flight_id", "earth_ref", "meteo",
+                     "airframe_id"]
+    by = {g["group"]: g for g in out["groups"]}
+    assert by["flight_id"]["flight_id"] == "QFA127"
+    assert abs(by["earth_ref"]["true_track_deg"] - 273.2) < 0.1
+    assert by["earth_ref"]["gs_kt"] == 488.5
+    assert by["earth_ref"]["vert_rate_fpm"] == -1200
+    assert by["meteo"]["wind_speed_kt"] == 85.5
+    assert abs(by["meteo"]["wind_dir_deg"] - 288.3) < 0.5
+    assert by["meteo"]["temp_c"] == -52.25
+    assert by["airframe_id"]["icao_hex"] == "7C6DB8"
+
+
+def test_adsc_predicted_route_and_events():
+    from aero_tpu.protocol import adsc
+    payload = adsc.encode_predicted_route(
+        {"lat": 10.5, "lon": -140.25, "alt_ft": 36000, "eta_s": 1234},
+        {"lat": 11.5, "lon": -142.0, "alt_ft": 36000})
+    out = adsc.decode(payload)["adsc"]
+    (g,) = out["groups"]
+    assert g["group"] == "predicted_route"
+    assert abs(g["next_waypoint"]["lat"] - 10.5) < 2e-4
+    assert g["next_waypoint"]["eta_s"] == 1234
+    assert abs(g["next_plus_one"]["lon"] - -142.0) < 2e-4
+    # event tag reuses the basic layout
+    ev = adsc.encode_basic_report(0.0, 0.0, 1000, 0.0, tag=20)
+    out = adsc.decode(ev)["adsc"]
+    assert out["groups"][0]["group"] == "waypoint_change_event"
+
+
+def test_adsc_ack_and_unknown_tag():
+    from aero_tpu.protocol import adsc
+    out = adsc.decode(adsc.encode_ack(9))["adsc"]
+    assert out["groups"][0] == {"group": "ack", "tag": 3,
+                                "contract_request_num": 9}
+    out = adsc.decode(bytes([99, 1, 2, 3]))["adsc"]
+    assert out["groups"][0]["group"] == "tag_99"
+    assert out["decode_error"] is True
+
+
+def test_adsc_truncated_is_graceful():
+    from aero_tpu.protocol import adsc
+    good = adsc.encode_basic_report(10.0, 20.0, 30000, 100.0)
+    out = adsc.decode(good[:6])["adsc"]
+    assert out["decode_error"] is True
+    assert out["groups"][0]["truncated"] is True
+
+
+# ---------------------------------------------------------------- CPDLC
+
+def test_cpdlc_header_and_null_element():
+    from aero_tpu.protocol import cpdlc
+    # uplink UM20 CLIMB TO ... (args undecodable -> hex) with header
+    pay = cpdlc.encode_at1(12, [(3, None)], msg_ref=7,
+                           timestamp="14:32:06", downlink=False)
+    out = cpdlc.decode("AT1", pay, downlink=False)["cpdlc"]
+    assert out["type"] == "cpdlc_message"
+    assert out["msg_id"] == 12
+    assert out["msg_ref"] == 7
+    assert out["timestamp"] == "14:32:06"
+    assert out["elements"][0]["id"] == "UM3"
+    assert out["elements"][0]["title"] == "ROGER"
+
+
+def test_cpdlc_downlink_wilco():
+    from aero_tpu.protocol import cpdlc
+    pay = cpdlc.encode_at1(33, [(0, None)], msg_ref=12, downlink=True)
+    out = cpdlc.decode("AT1", pay, downlink=True)["cpdlc"]
+    assert out["msg_id"] == 33
+    assert out["msg_ref"] == 12
+    assert "timestamp" not in out
+    assert out["elements"][0]["id"] == "DM0"
+    assert out["elements"][0]["title"] == "WILCO"
+
+
+def test_cpdlc_freetext_roundtrip():
+    from aero_tpu.protocol import cpdlc
+    txt = "DUE TO WX REQUEST FL390"
+    pay = cpdlc.encode_at1(5, [(67, txt)], downlink=True)
+    out = cpdlc.decode("AT1", pay, downlink=True)["cpdlc"]
+    assert out["elements"][0]["id"] == "DM67"
+    assert out["elements"][0]["freetext"] == txt
+
+
+def test_cpdlc_multi_element():
+    from aero_tpu.protocol import cpdlc
+    pay = cpdlc.encode_at1(44, [(165, None), (169, "CHECK ATIS")],
+                           downlink=False)
+    out = cpdlc.decode("AT1", pay, downlink=False)["cpdlc"]
+    ids = [e["id"] for e in out["elements"]]
+    assert ids == ["UM165", "UM169"]
+    assert out["elements"][0]["title"] == "THEN"
+    assert out["elements"][1]["freetext"] == "CHECK ATIS"
+
+
+def test_cpdlc_unknown_args_degrade_to_hex():
+    from aero_tpu.protocol import cpdlc
+    from aero_tpu.protocol.bitio import BitWriter
+    w = BitWriter()
+    w.write(0, 1)          # no extra elements
+    w.write(0, 2)          # no msg_ref / timestamp
+    w.write(9, 6)          # msg id
+    w.write(20, 8)         # UM20 CLIMB TO [altitude]
+    w.write(0x2AB, 12)     # altitude argument bits we don't parse
+    out = cpdlc.decode("AT1", w.to_bytes(), downlink=False)["cpdlc"]
+    el = out["elements"][0]
+    assert el["id"] == "UM20"
+    assert "CLIMB TO" in el["title"]
+    assert "args_hex" in el
+
+
+def test_cpdlc_message_set_tables():
+    from aero_tpu.protocol import cpdlc
+    # complete, hole-free tables
+    assert sorted(cpdlc.UPLINK_TITLES) == list(range(183))
+    assert sorted(cpdlc.DOWNLINK_TITLES) == list(range(81))
+    assert cpdlc.UPLINK_TITLES[169] == "[free text]"
+    assert cpdlc.DOWNLINK_TITLES[56] == "MAYDAY MAYDAY MAYDAY"
+
+
+def test_cpdlc_session_imis():
+    from aero_tpu.protocol import cpdlc
+    out = cpdlc.decode("DR1", b"\x01\x02", downlink=True)["cpdlc"]
+    assert out["type"] == "cpdlc_disconnect_request"
+    assert out["payload_hex"] == "0102"
+
+
+# ------------------------------------------------- ARINC 622 integration
+
+def test_arinc622_adsc_envelope_end_to_end():
+    from aero_tpu.protocol import adsc
+    from aero_tpu.protocol.acars_apps import build_arinc622, decode_apps
+    payload = (adsc.encode_basic_report(35.0, -40.0, 38000, 900.0)
+               + adsc.encode_flight_id("UAL27"))
+    text = build_arinc622("PORTSYA", "ADS", "N778UA", payload)
+    parsed = decode_apps("B6", text, downlink=True)
+    assert parsed["app"] == "ads-c"
+    assert parsed["arinc622"]["crc_ok"] is True
+    assert parsed["arinc622"]["reg"] == "N778UA"
+    groups = parsed["adsc"]["groups"]
+    assert groups[0]["group"] == "basic_report"
+    assert groups[1]["flight_id"] == "UAL27"
+
+
+def test_arinc622_cpdlc_envelope_end_to_end():
+    from aero_tpu.protocol import cpdlc
+    from aero_tpu.protocol.acars_apps import build_arinc622, decode_apps
+    pay = cpdlc.encode_at1(17, [(0, None)], msg_ref=3, downlink=True)
+    text = build_arinc622("AKLCDYA", "AT1", "ZK-OKQ", pay)
+    parsed = decode_apps("BA", text, downlink=True)
+    assert parsed["app"] == "cpdlc"
+    assert parsed["arinc622"]["crc_ok"] is True
+    assert parsed["cpdlc"]["elements"][0]["title"] == "WILCO"
+
+
+def test_arinc622_bad_crc_flagged_not_fatal():
+    from aero_tpu.protocol import adsc
+    from aero_tpu.protocol.acars_apps import build_arinc622, decode_apps
+    text = build_arinc622("PORTSYA", "ADS", "N1", adsc.encode_ack(1))
+    text = text[:-1] + ("0" if text[-1] != "0" else "1")
+    parsed = decode_apps("B6", text, downlink=True)
+    assert parsed["arinc622"]["crc_ok"] is False
+    assert parsed["adsc"]["groups"][0]["group"] == "ack"
+
+
+def test_afn_envelope():
+    from aero_tpu.protocol.acars_apps import decode_apps
+    text = "/AKLCDYA.AFN/FMHZK-OKQ,260790/FPON470W1230,120012,ABCD"
+    parsed = decode_apps("B6", text, downlink=True)
+    assert parsed["app"] == "afn"
+    tags = [f["tag"] for f in parsed["afn"]["fields"]]
+    assert tags == ["FMH", "FPO"]
+    assert parsed["afn"]["fields"][0]["data"].startswith("ZK-OKQ")
+    assert parsed["afn"]["crc_hex"] == "ABCD"
