@@ -58,3 +58,29 @@ def host_local_slice(n_total_vfos: int) -> slice:
     per = -(-n_total_vfos // n)
     i = jax.process_index()
     return slice(i * per, min((i + 1) * per, n_total_vfos))
+
+
+def scatter_time_shards(mesh: Mesh, local_block: np.ndarray,
+                        axis: str = "time"):
+    """Assemble each host's locally-ingested contiguous sample block into
+    ONE globally time-sharded array (shape 2's ingest step).
+
+    Each process pulls its own slice of the wideband stream off its DCN
+    feed (ZMQ speaking the reference wire format, io/zmq_transport.py) —
+    no host ever materializes the full stream.  The returned jax.Array is
+    addressable-shard-only on every process and can be fed straight into
+    the time-sharded kernels (parallel/time_shard.py).
+    """
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+    return multihost_utils.host_local_array_to_global_array(
+        local_block, mesh, P(axis))
+
+
+def gather_to_hosts(x) -> np.ndarray:
+    """Replicate a (possibly sharded) global array onto every process as
+    numpy — the egress step for small results (soft bits, sync scores).
+    Large streams should stay sharded; only decoded frames leave devices.
+    """
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))

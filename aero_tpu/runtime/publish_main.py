@@ -81,7 +81,19 @@ def main(argv=None) -> int:
                 emit(ch.process(carry[:B]))
                 carry = carry[B:]
 
-    if args.iq_file:
+    if args.device:
+        from aero_tpu.io.sdr import SoapyReader, soapy_available
+        if not soapy_available():
+            print("SoapySDR python binding not available; "
+                  "use --iq-file/--iq-stdin", file=sys.stderr)
+            return 2
+        with SoapyReader(args.device, fs=cfg.sample_rate,
+                         center_freq=cfg.center_frequency,
+                         buflen_complex=B,
+                         enable_biast=args.enable_biast,
+                         enable_dcc=args.enable_dcc) as rdr:
+            stream_blocks(iter(rdr))
+    elif args.iq_file:
         def file_reader():
             while True:
                 data = np.fromfile(args.iq_file, dtype=np.complex64)

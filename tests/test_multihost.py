@@ -1,0 +1,54 @@
+"""True multi-process "multi-host" tests: two OS processes form one global
+JAX mesh (Gloo collectives over localhost, standing in for DCN) and run the
+time-sharded filter with cross-process halo exchange.
+
+The reference's only distribution mechanism is separate OS processes
+connected by ZMQ (SURVEY.md §2.5); this validates the TPU-native
+replacement — one logical array sharded across hosts — end to end.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_halo_exchange():
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)           # worker sets its own device count
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "aero_tpu.parallel.selftest",
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(i),
+             "--devices-per-process", "4",
+             "--samples-per-device", "4096"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=REPO)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        assert f"MH-SELFTEST-OK proc={i}" in out, out[-3000:]
+        assert "devices=8" in out
