@@ -87,6 +87,58 @@ def pfb_channelize(state, x, K: int, taps_per_branch: int = 8):
     return new_state, jnp.transpose(z)                      # [K, F]
 
 
+@functools.partial(jax.jit, static_argnames=("K", "taps_per_branch"))
+def pfb_channelize_fused(state, x, K: int, taps_per_branch: int = 8):
+    """Bit-compatible fast path for ``pfb_channelize`` (M = K//2).
+
+    The reference formulation gathers overlapping [F, L] frames — an
+    8x HBM read amplification at taps_per_branch=8.  Here the fold is a
+    depthwise 1-D convolution over K-sample rows: because the hop M
+    divides K, frames at even/odd hops align to row boundaries of
+    ``x.reshape(-1, K)`` and the tap blocks become an
+    taps_per_branch-tap filter along the row axis — each wideband
+    sample is read once per parity instead of taps_per_branch times.
+    """
+    from jax import lax
+    M = K // 2
+    P = taps_per_branch
+    L = P * K
+    T = x.shape[-1]
+    F = T // M
+    assert F % 2 == 0, "need an even number of hops per block"
+
+    xp = jnp.concatenate([state, x])              # [T + L - M]
+    h = jnp.asarray(pfb_prototype(K, P))
+    hrev = h[::-1].reshape(P, K)                  # block c = hrev[cK:(c+1)K]
+
+    Q = F // 2
+    rows_e = xp[: (Q + P - 1) * K].reshape(Q + P - 1, K)
+    rows_o = xp[M: M + (Q + P - 1) * K].reshape(Q + P - 1, K)
+
+    def fold(rows):
+        # depthwise conv over the row axis: out[q] = sum_c hrev[c]*rows[q+c]
+        def conv1(r):                             # r: [Q+P-1, K] real
+            lhs = r.T[None]                       # [1, K, Q+P-1]
+            rhs = hrev.T[:, None, :]              # [K, 1, P]
+            y = lax.conv_general_dilated(
+                lhs, rhs, window_strides=(1,), padding="VALID",
+                dimension_numbers=("NCH", "OIH", "NCH"),
+                feature_group_count=K)
+            return y[0].T                         # [Q, K]
+        return (conv1(rows.real)
+                + 1j * conv1(rows.imag)).astype(jnp.complex64)
+
+    folded = jnp.stack([fold(rows_e), fold(rows_o)], axis=1).reshape(F, K)
+    z = jnp.fft.fft(folded, axis=-1)
+    m = jnp.arange(F)
+    k = jnp.arange(K)
+    tw = jnp.exp(-2j * jnp.pi
+                 * (k[None, :] * (((m[:, None] + 1) * M) % K)) / K)
+    z = z * tw.astype(jnp.complex64)
+    new_state = xp[-(L - M):]
+    return new_state, jnp.transpose(z)            # [K, F]
+
+
 def pfb_bin_for_freq(freq_hz: float, fs: float, K: int) -> int:
     """Nearest bin index for a baseband frequency (may be negative)."""
     return int(np.round(freq_hz / (fs / K))) % K
@@ -158,8 +210,9 @@ class PfbChannelizer:
         x = jnp.asarray(np.asarray(iq, np.complex64))
         for out_rate, idxs in self.groups.items():
             K, bins, resid = self._params[out_rate]
-            self._state[out_rate], z = pfb_channelize(
-                self._state[out_rate], x, K)
+            chan = (pfb_channelize_fused
+                    if (x.shape[-1] // (K // 2)) % 2 == 0 else pfb_channelize)
+            self._state[out_rate], z = chan(self._state[out_rate], x, K)
             zb = z[jnp.asarray(bins)]                    # [B, F]
             F = zb.shape[1]
             n = jnp.arange(F, dtype=jnp.float32)

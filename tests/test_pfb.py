@@ -80,3 +80,23 @@ def test_pfb_channelizer_end_to_end():
     soft = np.concatenate([o["soft_bits"] for o in outs]).astype(np.float32)
     evs = PChannelFramer(1200).feed(soft)
     assert sum(f in [ev.infofield for ev in evs] for f in fields) == 2
+
+
+def test_fused_matches_gather_formulation():
+    """pfb_channelize_fused must be numerically equivalent to the
+    reference gather formulation across streamed blocks."""
+    import numpy as np
+    from aero_tpu.channelizer.pfb import (pfb_channelize,
+                                          pfb_channelize_fused, pfb_init)
+    rng = np.random.default_rng(42)
+    K = 64
+    s1 = pfb_init(K)
+    s2 = pfb_init(K)
+    for _ in range(3):
+        x = (rng.standard_normal(2048)
+             + 1j * rng.standard_normal(2048)).astype(np.complex64)
+        s1, z1 = pfb_channelize(s1, x, K)
+        s2, z2 = pfb_channelize_fused(s2, x, K)
+        np.testing.assert_allclose(np.asarray(z1), np.asarray(z2),
+                                   atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
