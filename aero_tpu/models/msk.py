@@ -108,6 +108,17 @@ def msk_init(cfg: MskConfig) -> MskState:
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _tone_grid(T: int, fb_norm: float, span_cyc: float, step_cyc: float):
+    """Static candidate grid and its DFT matrix (numpy, cached)."""
+    n = np.arange(T, dtype=np.float64)
+    nu = np.arange(-span_cyc, span_cyc + step_cyc / 2, step_cyc,
+                   dtype=np.float64)
+    freqs = np.concatenate([nu + fb_norm / 2.0, nu - fb_norm / 2.0])
+    tw = np.exp(-2j * np.pi * (freqs[:, None] * n[None, :] % 1.0))
+    return nu.astype(np.float32), tw.astype(np.complex64)
+
+
 def _tone_pair_sync(y, fb_norm, span_cyc, step_cyc):
     """Estimate (df_norm, theta0, t0_bits) from the squared signal.
 
@@ -117,15 +128,13 @@ def _tone_pair_sync(y, fb_norm, span_cyc, step_cyc):
     """
     T = y.shape[-1]
     s2 = y * y
-    n = jnp.arange(T, dtype=jnp.float32)
-    # candidate shared offsets nu = 2*df
-    nu = jnp.arange(-span_cyc, span_cyc + step_cyc / 2, step_cyc, dtype=jnp.float32)
-    f_hi = nu + fb_norm / 2.0    # [C]
-    f_lo = nu - fb_norm / 2.0
-    # DFT matrix [2C, T] @ s2 — MXU-shaped matmul
-    freqs = jnp.concatenate([f_hi, f_lo])
-    tw = jnp.exp(-2j * jnp.pi * (freqs[:, None] * n[None, :] % 1.0)).astype(jnp.complex64)
-    coeffs = jnp.einsum("ct,...t->...c", tw, s2)
+    # candidate shared offsets nu = 2*df: a STATIC grid per config, so the
+    # [2C, T] DFT matrix is precomputed in numpy at trace time (a 1.25M-
+    # element device exp per step otherwise) and lands as a jit constant
+    nu_np, tw_np = _tone_grid(T, float(fb_norm), float(span_cyc),
+                              float(step_cyc))
+    nu = jnp.asarray(nu_np)
+    coeffs = jnp.einsum("ct,...t->...c", jnp.asarray(tw_np), s2)
     C = nu.shape[0]
     c_hi, c_lo = coeffs[..., :C], coeffs[..., C:]
     score = jnp.abs(c_hi) + jnp.abs(c_lo)
