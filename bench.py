@@ -167,6 +167,65 @@ def bench_full_chain_pfb(B=50, n_iter=10):
     return wb_rate / 1e6, wb_rate / fs_wb, B
 
 
+def bench_oqpsk_demod(B=64, n_iter=20):
+    """OQPSK 10500 (C-band P channel) vmapped demod bank."""
+    import jax
+    import jax.numpy as jnp
+    from aero_tpu.models.oqpsk import make_config, oqpsk_init, oqpsk_step
+    cfg = make_config(48000.0, 10500.0)
+    rng = np.random.default_rng(0)
+    samples = jnp.asarray(
+        rng.standard_normal((B, cfg.block_len)).astype(np.float32))
+    states = jax.vmap(lambda _: oqpsk_init(cfg))(jnp.arange(B))
+
+    @jax.jit
+    def step(states, samples):
+        return jax.vmap(lambda s, x: oqpsk_step(s, x, cfg))(states, samples)
+
+    states, out = step(states, samples)
+    jax.block_until_ready(out)
+
+    def batch():
+        nonlocal states
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            states, out = step(states, samples)
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0
+
+    return _best_rate(batch, n_iter * B * cfg.block_len) / 1e6
+
+
+def bench_burst_window(B=64, n_iter=20):
+    """Burst MSK window demod (R/T channels): B candidate windows at once
+    (the 'decode all burst hypotheses in a batch' shape, SURVEY.md §7)."""
+    import jax
+    import jax.numpy as jnp
+    from aero_tpu.models.burst_msk import make_config, burst_msk_window
+    cfg = make_config(24000.0, 1200.0)
+    rng = np.random.default_rng(0)
+    samples = jnp.asarray(
+        rng.standard_normal((B, cfg.window_len)).astype(np.float32))
+    gate = jnp.ones((B, cfg.window_len), jnp.float32)
+
+    @jax.jit
+    def step(samples, gate):
+        return jax.vmap(lambda x, g: burst_msk_window(x, g, cfg))(samples,
+                                                                  gate)
+
+    out = step(samples, gate)
+    jax.block_until_ready(out)
+
+    def batch():
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = step(samples, gate)
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0
+
+    return _best_rate(batch, n_iter * B * cfg.window_len) / 1e6
+
+
 def bench_demod_only(B=128, n_iter=20):
     import jax
     import jax.numpy as jnp
@@ -229,6 +288,18 @@ def main():
             print(f"demod_only: {demod:.0f} MS/s audio", file=sys.stderr)
         except Exception as e:                     # noqa: BLE001
             print(f"demod_only failed: {e}", file=sys.stderr)
+        try:
+            oq = bench_oqpsk_demod()
+            print(f"oqpsk_demod: {oq:.0f} MS/s audio (10500 bps C-band)",
+                  file=sys.stderr)
+        except Exception as e:                     # noqa: BLE001
+            print(f"oqpsk_demod failed: {e}", file=sys.stderr)
+        try:
+            bw = bench_burst_window()
+            print(f"burst_window: {bw:.0f} MS/s audio (batched R/T "
+                  f"candidate windows)", file=sys.stderr)
+        except Exception as e:                     # noqa: BLE001
+            print(f"burst_window failed: {e}", file=sys.stderr)
         try:
             vit = bench_viterbi()
             print(f"pallas_viterbi: {vit:.1f} Mbit/s decoded", file=sys.stderr)
