@@ -30,6 +30,7 @@ from aero_tpu.ops import (nco_init, fir_init, fir_apply, fir_decimate_init,
 from aero_tpu.ops.nco import nco_mix
 from aero_tpu.ops.fir import delay_init, delay_apply
 from aero_tpu.channelizer.config import ChannelizerConfig
+from aero_tpu.ops.compat import tree_pack, tree_unpack, pack_c64, unpack_c64
 
 _HB = HALFBAND_TAPS[11].astype(np.float32)   # vfo.init uses 11 taps (vfo.cpp:106-108)
 _HILBERT_NTAPS = 125                          # vfo.cpp:112
@@ -70,10 +71,11 @@ class Channelizer:
             freqs = np.array([(cfg.center_frequency - cfg.mains[i].freq)
                               / self.fs for i in idxs], np.float32)
             self._main_freqs[decim] = jnp.asarray(freqs)
-            init = _chain_init(decim, usb=False, late=0, ntaps_late=0,
-                               ntaps_post=0)
-            self._main_state[decim] = jax.vmap(lambda _: init)(
-                jnp.arange(len(idxs)))
+            n = len(idxs)
+            self._main_state[decim] = jax.jit(
+                lambda n=n, d=decim: jax.vmap(lambda _: tree_pack(
+                    _chain_init(d, usb=False, late=0, ntaps_late=0,
+                                ntaps_post=0)))(jnp.arange(n)))()
 
         # ---- sub VFO groups ----
         # group key: (main_idx, decim, late, filter_bw, out_rate)
@@ -103,18 +105,21 @@ class Channelizer:
                 target = out_rate
                 taps = low_pass_design(2.0, target * late, target / 2,
                                        target / (late - 1)).astype(np.float32)
-                self._sub_late_taps[key] = jnp.asarray(taps)
+                self._sub_late_taps[key] = taps   # numpy: axon cannot
+                # materialize device-array closure constants at trace time
                 ntaps_late = len(taps)
             ntaps_post = 0
             if filter_bw > 0:
                 taps = low_pass_design(2.0, out_rate, filter_bw,
                                        filter_bw / 4).astype(np.float32)
-                self._sub_post_taps[key] = jnp.asarray(taps)
+                self._sub_post_taps[key] = taps   # numpy (see above)
                 ntaps_post = len(taps)
-            init = _chain_init(decim, usb=True, late=late,
-                               ntaps_late=ntaps_late, ntaps_post=ntaps_post)
-            self._sub_state[key] = jax.vmap(lambda _: init)(
-                jnp.arange(len(idxs)))
+            n = len(idxs)
+            self._sub_state[key] = jax.jit(
+                lambda n=n, d=decim, l=late, nl=ntaps_late, np_=ntaps_post:
+                jax.vmap(lambda _: tree_pack(_chain_init(
+                    d, usb=True, late=l, ntaps_late=nl, ntaps_post=np_)))(
+                        jnp.arange(n)))()
 
         self._jit_main = {}
         self._jit_sub = {}
@@ -122,16 +127,21 @@ class Channelizer:
     # ---- jitted group steps ----
 
     def _main_step(self, decim):
+        # every jit boundary is complex-free (ops/compat.py): wideband and
+        # channel outputs cross as float32 [2, T] pairs, filter states as
+        # packed trees — the axon tunnel cannot fetch outputs of
+        # executables with complex64 runtime inputs
         if decim not in self._jit_main:
-            def one(st, x, f):
+            def one(stp, x2, f):
+                st = tree_unpack(stp)
                 new = dict(st)
-                new["nco"], z = nco_mix(st["nco"], x, f)
+                new["nco"], z = nco_mix(st["nco"], unpack_c64(x2), f)
                 hb = []
                 for s in st["hb"]:
                     s, z = fir_decimate_apply(s, z, jnp.asarray(_HB), 2)
                     hb.append(s)
                 new["hb"] = hb
-                return new, z
+                return tree_pack(new), pack_c64(z)
             self._jit_main[decim] = jax.jit(
                 jax.vmap(one, in_axes=(0, None, 0)))
         return self._jit_main[decim]
@@ -141,25 +151,30 @@ class Channelizer:
             main_idx, decim, late, filter_bw, out_rate = key
             late_taps = self._sub_late_taps.get(key)
             post_taps = self._sub_post_taps.get(key)
-            hilb_taps = jnp.asarray(hilbert_design(_HILBERT_NTAPS), jnp.float32)
+            hilb_taps = hilbert_design(_HILBERT_NTAPS).astype(np.float32)
 
-            def one(st, x, f, g):
+            def one(stp, x2, f, g):
+                st = tree_unpack(stp)
                 new = dict(st)
-                new["nco"], z = nco_mix(st["nco"], x, f)
+                new["nco"], z = nco_mix(st["nco"], unpack_c64(x2), f)
                 hb = []
                 for s in st["hb"]:
                     s, z = fir_decimate_apply(s, z, jnp.asarray(_HB), 2)
                     hb.append(s)
                 new["hb"] = hb
                 if late:
-                    new["late"], z = fir_decimate_apply(st["late"], z,
-                                                        late_taps, late)
-                new["hilb"], h = fir_apply(st["hilb"], z.imag, hilb_taps)
+                    new["late"], z = fir_decimate_apply(
+                        st["late"], z, jnp.asarray(late_taps), late)
+                new["hilb"], h = fir_apply(st["hilb"], z.imag,
+                                           jnp.asarray(hilb_taps))
                 new["dly"], d = delay_apply(st["dly"], z.real)
                 audio = d - h
                 if post_taps is not None:
-                    new["post"], audio = fir_apply(st["post"], audio, post_taps)
-                return new, audio * g * 32768.0
+                    new["post"], audio = fir_apply(st["post"], audio,
+                                                   jnp.asarray(post_taps))
+                pcm = jnp.clip(audio * g * 32768.0,
+                               -32767.0, 32767.0).astype(jnp.int16)
+                return tree_pack(new), pcm
 
             self._jit_sub[key] = jax.jit(jax.vmap(one, in_axes=(0, None, 0, 0)))
         return self._jit_sub[key]
@@ -181,34 +196,35 @@ class Channelizer:
             self._dc = self._dc * (1 - alpha) ** n + blk_mean * (1 - (1 - alpha) ** n)
             iq = iq - self._dc
 
-        x = jnp.asarray(iq)
+        x2 = jnp.asarray(np.stack([iq.real, iq.imag]))   # float pair
         outputs = []
 
-        main_out = {}
+        main_out = {}          # main idx -> float [2, T'] device array
         for decim, idxs in self.main_groups.items():
             step = self._main_step(decim)
-            self._main_state[decim], z = step(self._main_state[decim], x,
-                                              self._main_freqs[decim])
-            z = np.asarray(z)
+            self._main_state[decim], z2 = step(self._main_state[decim], x2,
+                                               self._main_freqs[decim])
             for row, i in enumerate(idxs):
-                main_out[i] = z[row]
+                main_out[i] = z2[row]
                 m = self.cfg.mains[i]
                 if m.topic:
-                    payload = self._compress_nibbles(z[row], m.compress_scale)
+                    zr = np.asarray(z2[row])
+                    payload = self._compress_nibbles(zr[0] + 1j * zr[1],
+                                                     m.compress_scale)
                     outputs.append((m.topic, m.out_rate, payload))
 
         for key, idxs in self.sub_groups.items():
             main_idx = key[0]
-            src = x if main_idx < 0 else jnp.asarray(main_out[main_idx])
+            src = x2 if main_idx < 0 else main_out[main_idx]
             step = self._sub_step(key)
-            self._sub_state[key], audio = step(self._sub_state[key], src,
-                                               self._sub_freqs[key],
-                                               self._sub_gains[key])
-            audio = np.asarray(audio)
+            self._sub_state[key], pcm = step(self._sub_state[key], src,
+                                             self._sub_freqs[key],
+                                             self._sub_gains[key])
+            pcm = np.asarray(pcm)
             for row, i in enumerate(idxs):
                 s = self.cfg.subs[i]
-                pcm = np.clip(audio[row], -32767, 32767).astype("<i2")
-                outputs.append((s.topic, s.out_rate, pcm.tobytes()))
+                outputs.append((s.topic, s.out_rate,
+                                pcm[row].astype("<i2").tobytes()))
         return outputs
 
     @staticmethod

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from aero_tpu.ops.design import low_pass_design
+from aero_tpu.ops.compat import pack_c64, unpack_c64
 
 
 @functools.lru_cache(maxsize=None)
@@ -200,29 +201,51 @@ class PfbChannelizer:
                 # the bin output only needs the -r residual shift
                 resid.append(-r / out_rate)
             self._params[out_rate] = (K, np.asarray(bins),
-                                      jnp.asarray(np.asarray(resid, np.float32)))
-            self._state[out_rate] = pfb_init(K)
+                                      np.asarray(resid, np.float32))
+            L = 8 * K
+            self._state[out_rate] = jnp.zeros((2, L - K // 2), jnp.float32)
             self._phase[out_rate] = jnp.zeros(len(idxs), jnp.float32)
+        self._steps = {}
+
+    def _group_step(self, out_rate):
+        """One jitted, complex-free step for a rate group: float-pair
+        wideband + packed PFB state in, int16 PCM out (the axon tunnel
+        cannot fetch outputs of executables with complex64 inputs)."""
+        if out_rate not in self._steps:
+            K, bins, resid = self._params[out_rate]
+            gain = self.gain
+
+            @jax.jit
+            def step(state2, x2, phase):
+                chan = (pfb_channelize_fused
+                        if (x2.shape[-1] // (K // 2)) % 2 == 0
+                        else pfb_channelize)
+                st, z = chan(unpack_c64(state2), unpack_c64(x2), K)
+                zb = z[jnp.asarray(bins)]                    # [B, F]
+                F = zb.shape[1]
+                n = jnp.arange(F, dtype=jnp.float32)
+                ramp = phase[:, None] + jnp.asarray(resid)[:, None] * n
+                osc = jnp.exp(2j * jnp.pi * jnp.mod(ramp, 1.0)
+                              ).astype(jnp.complex64)
+                new_phase = jnp.mod(phase + jnp.asarray(resid) * F, 1.0)
+                audio = (zb * osc).real * gain * 32768.0
+                pcm = jnp.clip(audio, -32767.0, 32767.0).astype(jnp.int16)
+                return pack_c64(st), new_phase, pcm
+
+            self._steps[out_rate] = step
+        return self._steps[out_rate]
 
     def process(self, iq: np.ndarray) -> list:
         """iq [T] complex64 -> [(topic, out_rate, int16 audio payload), ...]"""
         out = []
-        x = jnp.asarray(np.asarray(iq, np.complex64))
+        iq = np.asarray(iq, np.complex64)
+        x2 = jnp.asarray(np.stack([iq.real, iq.imag]))
         for out_rate, idxs in self.groups.items():
-            K, bins, resid = self._params[out_rate]
-            chan = (pfb_channelize_fused
-                    if (x.shape[-1] // (K // 2)) % 2 == 0 else pfb_channelize)
-            self._state[out_rate], z = chan(self._state[out_rate], x, K)
-            zb = z[jnp.asarray(bins)]                    # [B, F]
-            F = zb.shape[1]
-            n = jnp.arange(F, dtype=jnp.float32)
-            ramp = self._phase[out_rate][:, None] + resid[:, None] * n
-            osc = jnp.exp(2j * jnp.pi * jnp.mod(ramp, 1.0)).astype(jnp.complex64)
-            self._phase[out_rate] = jnp.mod(
-                self._phase[out_rate] + resid * F, 1.0)
-            audio = (zb * osc).real * self.gain * 32768.0
-            audio = np.asarray(audio)
+            step = self._group_step(out_rate)
+            self._state[out_rate], self._phase[out_rate], pcm = step(
+                self._state[out_rate], x2, self._phase[out_rate])
+            pcm = np.asarray(pcm)
             for row, i in enumerate(idxs):
-                pcm = np.clip(audio[row], -32767, 32767).astype("<i2")
-                out.append((self.cfg.subs[i].topic, out_rate, pcm.tobytes()))
+                out.append((self.cfg.subs[i].topic, out_rate,
+                            pcm[row].astype("<i2").tobytes()))
         return out

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from aero_tpu.models.msk import make_config, msk_init, msk_step
+from aero_tpu.ops.compat import tree_pack, tree_unpack
 from aero_tpu.parallel.mesh import make_mesh, shard_over_vfo
 
 
@@ -40,13 +41,21 @@ class VfoBank:
                 n_dev -= 1
             mesh = make_mesh(n_dev)
         self.mesh = mesh
-        states = jax.vmap(lambda _: msk_init(self.cfg))(jnp.arange(n_vfos))
+        cfg = self.cfg
+        # states cross the jit boundary packed (complex leaves as float32
+        # [2, ...] pairs, ops/compat.py): the axon TPU tunnel cannot fetch
+        # outputs of executables with complex64 runtime inputs, and the
+        # initial state is built INSIDE a no-input jit so no device
+        # constants are captured
+        states = jax.jit(lambda: jax.vmap(
+            lambda _: tree_pack(msk_init(cfg)))(jnp.arange(n_vfos)))()
         self.states = shard_over_vfo(self.mesh, states)
 
-        cfg = self.cfg
-
-        def step(states, samples):
-            return jax.vmap(lambda s, x: msk_step(s, x, cfg))(states, samples)
+        def step(packed, samples):
+            def one(p, x):
+                s2, out = msk_step(tree_unpack(p), x, cfg)
+                return tree_pack(s2), out
+            return jax.vmap(one)(packed, samples)
 
         self._jit_step = jax.jit(step, donate_argnums=(0,) if donate else ())
 

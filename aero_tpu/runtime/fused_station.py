@@ -1,0 +1,229 @@
+"""Device-resident station: the whole compute chain in ONE jit call.
+
+The classic Station (runtime/station.py) moves per-VFO audio device ->
+host -> device between the channelizer and the demod banks, faithful to
+the reference's process-per-VFO wire (SURVEY.md §2.5).  For production
+serving the right shape is this one: per wideband block, a single jitted
+step does
+
+    quantized IQ [2, T] int8/int16/float32
+      -> dequantize -> complex wideband
+      -> one WOLA polyphase filterbank pass per output rate (all VFOs)
+      -> per-VFO residual mix -> real audio
+      -> vmapped feedforward demod banks (MSK 600/1200, OQPSK 8400/10500)
+      -> soft bits [B, n] uint8 (+ lock/mse/EbN0 telemetry)
+
+and only soft bits + telemetry ever leave the device.  Host work is the
+frame/ACARS bookkeeping, as in the reference (off the hot path).
+
+Ingest is quantized on purpose: SDR front ends produce 8-12 real bits
+per arm (an RTL-SDR is 8), so int8/int16 IQ loses nothing while cutting
+host->device bandwidth 4x/2x vs complex64 — the binding constraint on
+tunneled or DCN-attached accelerators.
+
+All jit boundaries are complex-free (ops/compat.py, axon tunnel rule).
+"""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aero_tpu.channelizer.config import ChannelizerConfig
+from aero_tpu.channelizer.pfb import (pfb_channelize, pfb_channelize_fused,
+                                      pfb_bin_for_freq)
+from aero_tpu.ops.compat import tree_pack, tree_unpack
+from aero_tpu.protocol.framing import PChannelFramer
+from aero_tpu.protocol.su_dispatch import PChannelSUDispatcher
+from aero_tpu.runtime.station import StationStats
+
+
+class FusedStation:
+    """One-jit-call-per-block station over a uniform sub-VFO bank."""
+
+    def __init__(self, cfg: ChannelizerConfig, on_acars=None,
+                 station_id: str = "AERO-TPU", ingest_dtype: str = "int16",
+                 gain: float = 10.0):
+        assert not cfg.mains, "FusedStation serves sub-VFO banks only"
+        self.cfg = cfg
+        self.fs = cfg.sample_rate
+        self.station_id = station_id
+        self.on_acars = on_acars or (lambda vfo, item: None)
+        self.stats = StationStats()
+        self.ingest_dtype = ingest_dtype
+        self._iscale = {"int8": 127.0, "int16": 32767.0,
+                        "float32": 1.0}[ingest_dtype]
+
+        # ---- group sub VFOs by out_rate; one PFB per group ----
+        groups = defaultdict(list)
+        for i, s in enumerate(cfg.subs):
+            assert s.data_rate in (600, 1200, 8400, 10500), \
+                f"unsupported data_rate {s.data_rate}"
+            groups[s.out_rate].append(i)
+        self.groups = dict(groups)
+
+        # block length: every group must emit a whole demod block per step.
+        # T/M_k audio samples per group; T = max_k (base_block * M_k) with
+        # base 16000 gives >= 16000 audio samples everywhere.
+        self._M = {}
+        self._K = {}
+        for out_rate in self.groups:
+            K = int(round(2 * self.fs / out_rate))
+            assert abs(2 * self.fs / out_rate - K) < 1e-9
+            self._K[out_rate], self._M[out_rate] = K, K // 2
+        self.block_len = max(16000 * M for M in self._M.values())
+
+        from aero_tpu.models import msk as _msk
+        from aero_tpu.models import oqpsk as _oq
+
+        self._group_cfg = {}
+        self._params = {}
+        self.topics = {}
+        self.framers = {}
+        self.dispatchers = {}
+        for out_rate, idxs in self.groups.items():
+            K, M = self._K[out_rate], self._M[out_rate]
+            F = self.block_len // M
+            rate = cfg.subs[idxs[0]].data_rate
+            assert all(cfg.subs[i].data_rate == rate for i in idxs), \
+                "one data_rate per out_rate group"
+            mod = _msk if rate in (600, 1200) else _oq
+            nfft = min(8192, 1 << (F.bit_length() - 1))
+            dcfg = mod.make_config(float(out_rate), float(rate),
+                                   block_len=F, nfft=nfft)
+            bins, resid = [], []
+            for i in idxs:
+                delta = cfg.subs[i].freq - cfg.center_frequency
+                k = pfb_bin_for_freq(delta, self.fs, K)
+                kc = k if k < K // 2 else k - K
+                bins.append(k)
+                resid.append(-(delta - kc * self.fs / K) / out_rate)
+            self._group_cfg[out_rate] = (mod, dcfg)
+            self._params[out_rate] = (np.asarray(bins, np.int32),
+                                      np.asarray(resid, np.float32))
+            self.topics[out_rate] = [cfg.subs[i].topic for i in idxs]
+            for i in idxs:
+                t = cfg.subs[i].topic
+                self.framers[t] = PChannelFramer(rate)
+                self.dispatchers[t] = PChannelSUDispatcher(
+                    on_acars=self._mk_sink(t))
+
+        self._gain = gain
+        self._state = jax.jit(self._init_state)()
+        self._step = jax.jit(self._make_step())
+
+    def _mk_sink(self, topic):
+        def sink(item):
+            self.stats.acars += 1
+            self.on_acars(topic, item)
+        return sink
+
+    # ---- device step ----
+
+    def _init_state(self):
+        st = {}
+        for out_rate, idxs in self.groups.items():
+            mod, dcfg = self._group_cfg[out_rate]
+            K = self._K[out_rate]
+            L = 8 * K
+            init = mod.msk_init if hasattr(mod, "msk_init") else None
+            init = init or mod.oqpsk_init
+            st[out_rate] = {
+                "pfb": jnp.zeros((2, L - K // 2), jnp.float32),
+                "phase": jnp.zeros((len(idxs),), jnp.float32),
+                "demod": jax.vmap(lambda _: tree_pack(init(dcfg)))(
+                    jnp.arange(len(idxs))),
+            }
+        return st
+
+    def _make_step(self):
+        iscale = self._iscale
+        gain = self._gain
+        groups = {k: tuple(v) for k, v in self.groups.items()}
+        params = self._params
+        group_cfg = self._group_cfg
+        Ks = self._K
+
+        def step(state, iq2):
+            x = (iq2[0].astype(jnp.float32)
+                 + 1j * iq2[1].astype(jnp.float32)) / iscale
+            new = {}
+            outs = {}
+            for out_rate, idxs in groups.items():
+                K = Ks[out_rate]
+                mod, dcfg = group_cfg[out_rate]
+                bins, resid = params[out_rate]
+                gst = state[out_rate]
+                chan = (pfb_channelize_fused
+                        if (x.shape[-1] // (K // 2)) % 2 == 0
+                        else pfb_channelize)
+                from aero_tpu.ops.compat import unpack_c64, pack_c64
+                pst, z = chan(unpack_c64(gst["pfb"]), x, K)
+                zb = z[jnp.asarray(bins)]
+                F = zb.shape[1]
+                n = jnp.arange(F, dtype=jnp.float32)
+                ramp = gst["phase"][:, None] + jnp.asarray(resid)[:, None] * n
+                osc = jnp.exp(2j * jnp.pi * jnp.mod(ramp, 1.0)
+                              ).astype(jnp.complex64)
+                audio = (zb * osc).real * gain
+                step_fn = mod.msk_step if hasattr(mod, "msk_step") else None
+                step_fn = step_fn or mod.oqpsk_step
+
+                def one(p, a):
+                    s2, out = step_fn(tree_unpack(p), a, dcfg)
+                    return tree_pack(s2), {
+                        "soft_bits": out["soft_bits"],
+                        "signal": out["signal"],
+                        "mse": out["mse"],
+                        "ebno": out["ebno"],
+                    }
+                dst, out = jax.vmap(one)(gst["demod"], audio)
+                new[out_rate] = {
+                    "pfb": pack_c64(pst),
+                    "phase": jnp.mod(gst["phase"]
+                                     + jnp.asarray(resid) * F, 1.0),
+                    "demod": dst,
+                }
+                outs[out_rate] = out
+            return new, outs
+
+        return step
+
+    # ---- host driver ----
+
+    def quantize(self, iq: np.ndarray) -> np.ndarray:
+        """complex64 [T] -> ingest array [2, T] of the configured dtype."""
+        pair = np.stack([iq.real, iq.imag])
+        if self.ingest_dtype == "float32":
+            return pair.astype(np.float32)
+        lim = self._iscale
+        return np.clip(pair * lim, -lim, lim).astype(self.ingest_dtype)
+
+    def process(self, iq_or_quantized: np.ndarray):
+        """Feed one wideband block (block_len samples): complex64 [T] or
+        pre-quantized [2, T] in the configured ingest dtype."""
+        t0 = time.perf_counter()
+        arr = np.asarray(iq_or_quantized)
+        if arr.ndim == 1:
+            arr = self.quantize(arr.astype(np.complex64))
+        assert arr.shape == (2, self.block_len), arr.shape
+        self._state, outs = self._step(self._state, jnp.asarray(arr))
+        for out_rate, out in outs.items():
+            soft = np.asarray(out["soft_bits"])
+            for row, topic in enumerate(self.topics[out_rate]):
+                for ev in self.framers[topic].feed(
+                        soft[row].astype(np.float32)):
+                    self.stats.frames += 1
+                    for k, ok in enumerate(ev.su_crc_ok):
+                        if ok:
+                            self.stats.su_ok += 1
+                            self.dispatchers[topic].dispatch(
+                                ev.infofield[k * 12:(k + 1) * 12])
+                        else:
+                            self.stats.su_bad += 1
+        self.stats.wideband_samples += self.block_len
+        self.stats.wall_seconds += time.perf_counter() - t0

@@ -29,7 +29,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iq-file", default=None, help="cf32 interleaved IQ")
     p.add_argument("--iq-stdin", action="store_true")
     p.add_argument("--loop", action="store_true")
-    p.add_argument("--backend", default="tree", choices=["tree", "pfb"])
+    p.add_argument("--backend", default="tree",
+                   choices=["tree", "pfb", "fused"],
+                   help="tree/pfb: classic station; fused: device-resident "
+                        "one-jit-per-block fast path (uniform VFO banks)")
+    p.add_argument("--ingest-dtype", default="int16",
+                   choices=["int8", "int16", "float32"],
+                   help="fused backend host->device IQ quantization")
     p.add_argument("--format", default="jsondump",
                    choices=["jaero", "jsondump", "text"])
     p.add_argument("-s", "--station-id",
@@ -64,9 +70,16 @@ def main(argv=None) -> int:
         for t in targets:
             t.send(to_output_format(t.spec.fmt, args.station_id, False, item))
 
-    st = Station(cfg, on_acars=on_acars, station_id=args.station_id,
-                 backend=args.backend)
-    B = cfg.buflen_complex
+    if args.backend == "fused":
+        from aero_tpu.runtime.fused_station import FusedStation
+        st = FusedStation(cfg, on_acars=on_acars,
+                          station_id=args.station_id,
+                          ingest_dtype=args.ingest_dtype)
+        B = st.block_len
+    else:
+        st = Station(cfg, on_acars=on_acars, station_id=args.station_id,
+                     backend=args.backend)
+        B = cfg.buflen_complex
     last_stats = time.time()
 
     def pump(reader):

@@ -105,3 +105,48 @@ def test_station_mixed_continuous_and_burst():
     for i in range(len(wb) // B):
         st.process(wb[i * B:(i + 1) * B])
     assert got == {"P": "CONTINUOUS MSG", "R": "BURST IN STATION"}
+
+
+def test_fused_station_decodes_end_to_end():
+    """Device-resident station: one jit call per block, int16 ingest."""
+    import numpy as np
+    from scipy.signal import firwin, lfilter
+    from aero_tpu.channelizer import load_ini
+    from aero_tpu.runtime.fused_station import FusedStation
+    from aero_tpu.models.msk import msk_modulate
+    from aero_tpu.protocol.framing import build_p_frames
+    from aero_tpu.protocol.crc import append_crc16_bytes
+    from aero_tpu.protocol.isu import make_acars_userdata, segment_isu
+
+    B = 4
+    vfos = "".join(
+        f"{i+1}\\frequency={1545002000 + i*19000}\n{i+1}\\data_rate=1200\n"
+        f"{i+1}\\topic=V{i}\n{i+1}\\gain=100\n" for i in range(B))
+    ini = (f"[General]\nsample_rate=1536000\ncenter_frequency=1545000000\n"
+           f"[vfos]\nsize={B}\n{vfos}")
+    cfg = load_ini(ini, is_text=True)
+
+    ud = make_acars_userdata("2", "VH-FUS", "!", "AA", "M", "FUSED OK")
+    sus = [append_crc16_bytes(b) for b in segment_isu(ud, 0x654321, 0x41)]
+    fill = append_crc16_bytes(bytes([0x01] + [0] * 9))
+    while len(sus) % 6:
+        sus.append(fill)
+    fields = [b"".join(sus[i:i + 6]) for i in range(0, len(sus), 6)]
+    bits = build_p_frames(fields, 1200, lead_frames=6)
+    audio = np.asarray(msk_modulate(bits, 24000, 1200, freq=1000.0))
+    up = np.zeros(len(audio) * 64, np.float32)
+    up[::64] = audio * 64
+    bb = lfilter(firwin(511, 1.0 / 64), 1.0, up).astype(np.float32)
+    delta = (1545002000 + 2 * 19000) - 1545000000
+    t = np.arange(len(bb)) / 1536000.0
+    wide = (bb * np.exp(2j * np.pi * delta * t)).astype(np.complex64)
+
+    msgs = []
+    st = FusedStation(cfg, on_acars=lambda v, item: msgs.append(
+        (v, item.message)))
+    wide = np.concatenate([wide, np.zeros(2 * st.block_len, np.complex64)])
+    n = (len(wide) // st.block_len) * st.block_len
+    for i in range(0, n, st.block_len):
+        st.process(wide[i:i + st.block_len])
+    assert ("V2", "FUSED OK") in msgs
+    assert st.stats.su_ok > 0
