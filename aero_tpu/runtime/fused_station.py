@@ -47,7 +47,7 @@ class FusedStation:
 
     def __init__(self, cfg: ChannelizerConfig, on_acars=None,
                  station_id: str = "AERO-TPU", ingest_dtype: str = "int16",
-                 gain: float = 10.0):
+                 gain: float = 10.0, pipeline: bool = True):
         assert not cfg.mains, "FusedStation serves sub-VFO banks only"
         self.cfg = cfg
         self.fs = cfg.sample_rate
@@ -115,6 +115,11 @@ class FusedStation:
         self._gain = gain
         self._state = jax.jit(self._init_state)()
         self._step = jax.jit(self._make_step())
+        # double-buffered dispatch (SURVEY.md §7: async dispatch +
+        # double-buffered ingest): hold one in-flight step and do host
+        # framing of block N while block N+1 uploads/computes
+        self._pipeline = pipeline
+        self._inflight = None
 
     def _mk_sink(self, topic):
         def sink(item):
@@ -212,6 +217,24 @@ class FusedStation:
             arr = self.quantize(arr.astype(np.complex64))
         assert arr.shape == (2, self.block_len), arr.shape
         self._state, outs = self._step(self._state, jnp.asarray(arr))
+        if self._pipeline:
+            prev, self._inflight = self._inflight, outs
+            if prev is None:
+                self.stats.wideband_samples += self.block_len
+                self.stats.wall_seconds += time.perf_counter() - t0
+                return
+            outs = prev
+        self._drain(outs)
+        self.stats.wideband_samples += self.block_len
+        self.stats.wall_seconds += time.perf_counter() - t0
+
+    def flush(self):
+        """Drain the in-flight block (call at end of stream)."""
+        if self._inflight is not None:
+            out, self._inflight = self._inflight, None
+            self._drain(out)
+
+    def _drain(self, outs):
         for out_rate, out in outs.items():
             soft = np.asarray(out["soft_bits"])
             for row, topic in enumerate(self.topics[out_rate]):
@@ -225,5 +248,3 @@ class FusedStation:
                                 ev.infofield[k * 12:(k + 1) * 12])
                         else:
                             self.stats.su_bad += 1
-        self.stats.wideband_samples += self.block_len
-        self.stats.wall_seconds += time.perf_counter() - t0

@@ -101,6 +101,8 @@ def main(argv=None) -> int:
                         "frames": s.frames, "su_ok": s.su_ok,
                         "su_bad": s.su_bad, "acars": s.acars,
                     }}), file=sys.stderr, flush=True)
+        if hasattr(st, "flush"):
+            st.flush()       # drain the pipelined in-flight block
 
     if args.iq_file:
         def reader():

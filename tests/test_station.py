@@ -148,5 +148,6 @@ def test_fused_station_decodes_end_to_end():
     n = (len(wide) // st.block_len) * st.block_len
     for i in range(0, n, st.block_len):
         st.process(wide[i:i + st.block_len])
+    st.flush()
     assert ("V2", "FUSED OK") in msgs
     assert st.stats.su_ok > 0
