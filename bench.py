@@ -53,6 +53,8 @@ def bench_full_chain(B=50, n_iter=10):
     hb = HALFBAND_TAPS[11].astype(np.float32)
     hilb = hilbert_design(125).astype(np.float32)
 
+    from aero_tpu.ops.compat import tree_pack, tree_unpack
+
     def chain_init(_):
         return {
             "nco": jnp.asarray(0.0, jnp.float32),
@@ -63,8 +65,10 @@ def bench_full_chain(B=50, n_iter=10):
             "demod": msk_init(cfg),
         }
 
-    def chain_step(st, wideband, f):
+    def chain_step(stp, wideband2, f):
+        st = tree_unpack(stp)
         new = dict(st)
+        wideband = (wideband2[0] + 1j * wideband2[1]).astype(jnp.complex64)
         new["nco"], z = nco_mix(st["nco"], wideband, f)
         hbs = []
         for s in st["hb"]:
@@ -75,16 +79,19 @@ def bench_full_chain(B=50, n_iter=10):
         new["dly"], d = delay_apply(st["dly"], z.real)
         audio = (d - h) * 10.0
         new["demod"], out = msk_step(st["demod"], audio, cfg)
-        return new, out["soft_bits"]
+        return tree_pack(new), out["soft_bits"]
 
-    states = jax.vmap(chain_init)(jnp.arange(B))
+    states = jax.jit(lambda: jax.vmap(
+        lambda _: tree_pack(chain_init(0)))(jnp.arange(B)))()
     freqs = jnp.asarray(np.linspace(-0.4, 0.4, B, dtype=np.float32))
 
     # wideband test signal: a complex exponential keeps every demod branch
-    # active without mattering for throughput
+    # active without mattering for throughput.  Passed as a float32 [2, T]
+    # pair: executables with complex64 runtime inputs poison host fetches
+    # on the tunneled backend (ops/compat.py)
     n = np.arange(L_wb)
-    wideband = jnp.asarray(
-        (0.1 * np.exp(2j * np.pi * 0.01 * n)).astype(np.complex64))
+    wb = (0.1 * np.exp(2j * np.pi * 0.01 * n)).astype(np.complex64)
+    wideband = jnp.asarray(np.stack([wb.real, wb.imag]))
 
     @jax.jit
     def step(states, wideband, freqs):
@@ -128,13 +135,19 @@ def bench_full_chain_pfb(B=50, n_iter=10):
     bins = np.linspace(2, K - 2, B).round().astype(np.int32)
     resid = np.linspace(-0.04, 0.04, B).astype(np.float32)  # cycles/sample
 
-    def init(_):
-        return {"pfb": pfb_init(K),
-                "phase": jnp.zeros((B,), jnp.float32),
-                "demod": jax.vmap(lambda _: msk_init(cfg))(jnp.arange(B))}
+    from aero_tpu.ops.compat import tree_pack, tree_unpack
 
-    def step(st, wideband):
+    def init(_):
+        # packed at the boundary: complex runtime inputs poison fetches
+        return tree_pack({
+            "pfb": pfb_init(K),
+            "phase": jnp.zeros((B,), jnp.float32),
+            "demod": jax.vmap(lambda _: msk_init(cfg))(jnp.arange(B))})
+
+    def step(stp, wideband2):
+        st = tree_unpack(stp)
         new = dict(st)
+        wideband = (wideband2[0] + 1j * wideband2[1]).astype(jnp.complex64)
         new["pfb"], z = pfb_channelize_fused(st["pfb"], wideband, K)
         zb = z[jnp.asarray(bins)]                                # [B, F]
         F = zb.shape[1]
@@ -145,12 +158,12 @@ def bench_full_chain_pfb(B=50, n_iter=10):
         audio = (zb * osc).real * 10.0
         new["demod"], out = jax.vmap(lambda s, x: msk_step(s, x, cfg))(
             st["demod"], audio)
-        return new, out["soft_bits"]
+        return tree_pack(new), out["soft_bits"]
 
-    state = init(0)
+    state = jax.jit(init)(0)
     n = np.arange(L_wb)
-    wideband = jnp.asarray(
-        (0.1 * np.exp(2j * np.pi * 0.01 * n)).astype(np.complex64))
+    wb = (0.1 * np.exp(2j * np.pi * 0.01 * n)).astype(np.complex64)
+    wideband = jnp.asarray(np.stack([wb.real, wb.imag]))
     step_j = jax.jit(step)
     state, out = step_j(state, wideband)
     jax.block_until_ready(out)
@@ -172,15 +185,20 @@ def bench_oqpsk_demod(B=64, n_iter=20):
     import jax
     import jax.numpy as jnp
     from aero_tpu.models.oqpsk import make_config, oqpsk_init, oqpsk_step
+    from aero_tpu.ops.compat import tree_pack, tree_unpack
     cfg = make_config(48000.0, 10500.0)
     rng = np.random.default_rng(0)
     samples = jnp.asarray(
         rng.standard_normal((B, cfg.block_len)).astype(np.float32))
-    states = jax.vmap(lambda _: oqpsk_init(cfg))(jnp.arange(B))
+    states = jax.jit(lambda: jax.vmap(
+        lambda _: tree_pack(oqpsk_init(cfg)))(jnp.arange(B)))()
 
     @jax.jit
     def step(states, samples):
-        return jax.vmap(lambda s, x: oqpsk_step(s, x, cfg))(states, samples)
+        def one_fn(p, x):
+            s2, out = oqpsk_step(tree_unpack(p), x, cfg)
+            return tree_pack(s2), out
+        return jax.vmap(one_fn)(states, samples)
 
     states, out = step(states, samples)
     jax.block_until_ready(out)
@@ -226,20 +244,56 @@ def bench_burst_window(B=64, n_iter=20):
     return _best_rate(batch, n_iter * B * cfg.window_len) / 1e6
 
 
+def bench_fused_station(B=50, n_iter=6):
+    """END-TO-END: quantized ingest -> device chain -> host framers,
+    via the production FusedStation (runtime/fused_station.py).  Reported
+    as x real time; on this environment the host->device tunnel
+    bandwidth, not compute, is the ceiling."""
+    from aero_tpu.channelizer import load_ini
+    from aero_tpu.runtime.fused_station import FusedStation
+    vfos = "".join(
+        f"{i+1}\\frequency={1545002000 + i*19000}\n{i+1}\\data_rate=1200\n"
+        f"{i+1}\\topic=V{i}\n{i+1}\\gain=100\n" for i in range(B))
+    ini = (f"[General]\nsample_rate=1536000\ncenter_frequency=1545000000\n"
+           f"[vfos]\nsize={B}\n{vfos}")
+    cfg = load_ini(ini, is_text=True)
+    st = FusedStation(cfg, ingest_dtype="int8")
+    rng = np.random.default_rng(0)
+    blk = st.quantize((0.02 * (rng.standard_normal((st.block_len, 2))
+                               @ [1, 1j])).astype(np.complex64))
+    for _ in range(2):
+        st.process(blk)
+    st.flush()
+    best = 0.0
+    for _ in range(3):
+        st.stats.wideband_samples = 0
+        st.stats.wall_seconds = 0.0
+        for _ in range(n_iter):
+            st.process(blk)
+        st.flush()
+        best = max(best, st.stats.realtime_factor)
+    return best / 1536000.0, B
+
+
 def bench_demod_only(B=128, n_iter=20):
     import jax
     import jax.numpy as jnp
     from aero_tpu.models.msk import make_config, msk_init, msk_step, msk_modulate
+    from aero_tpu.ops.compat import tree_pack, tree_unpack
     cfg = make_config(24000.0, 1200.0)
     rng = np.random.default_rng(0)
     one = msk_modulate(rng.integers(0, 2, 4000).astype(np.uint8), 24000.0,
                        1200.0)[: cfg.block_len]
     samples = jnp.asarray(np.tile(one, (B, 1)), jnp.float32)
-    states = jax.vmap(lambda _: msk_init(cfg))(jnp.arange(B))
+    states = jax.jit(lambda: jax.vmap(
+        lambda _: tree_pack(msk_init(cfg)))(jnp.arange(B)))()
 
     @jax.jit
     def step(states, samples):
-        return jax.vmap(lambda s, x: msk_step(s, x, cfg))(states, samples)
+        def one_fn(p, x):
+            s2, out = msk_step(tree_unpack(p), x, cfg)
+            return tree_pack(s2), out
+        return jax.vmap(one_fn)(states, samples)
 
     states, out = step(states, samples)
     jax.block_until_ready(out)
@@ -305,6 +359,14 @@ def main():
             print(f"pallas_viterbi: {vit:.1f} Mbit/s decoded", file=sys.stderr)
         except Exception as e:                     # noqa: BLE001
             print(f"pallas_viterbi failed: {e}", file=sys.stderr)
+        try:
+            # last: end-to-end leaves the tunnel queue saturated
+            rtf, B2 = bench_fused_station()
+            print(f"fused_station: {rtf:.1f}x real time END TO END "
+                  f"({B2} VFOs, int8 ingest, incl. host framing + tunnel "
+                  f"transfers)", file=sys.stderr)
+        except Exception as e:                     # noqa: BLE001
+            print(f"fused_station failed: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "full_chain_wideband_throughput",
