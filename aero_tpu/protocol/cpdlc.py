@@ -24,17 +24,22 @@ The uplink element CHOICE has 183 alternatives (UM0..UM182) and the
 downlink 81 (DM0..DM80); the choice index IS the UM/DM number.  Message
 titles follow ICAO Doc 4444 Appendix 5 / the FANS-1/A message set.
 
-Argument decoding policy: elements whose argument is NULL consume zero
-bits and are decoded exactly; free-text elements (UM169/UM170,
-DM67/DM68: IA5String SIZE(1..256), 8-bit length-1 + 7-bit chars) are
-decoded in full.  The first element with any other argument type stops
-structured parsing and the remaining bits are reported as
-``args_hex`` — headers and message identity (the operationally load-
-bearing part) always decode.  The decoder never raises.
+Argument decoding policy: EVERY element's argument is structurally
+decoded via the FANS-1/A type set in ``fans.py`` (altitudes, speeds,
+positions, routes, unit names, position reports, …) into an ``args``
+dict, and the element title's bracketed slots are rendered with the
+decoded values into ``text``.  Free-text elements (UM169/UM170,
+DM67/DM68: IA5String SIZE(1..256)) additionally keep the legacy
+``freetext`` key.  If an argument fails to decode (malformed or a
+layout mismatch vs our DO-219 reconstruction — see fans.py docstring),
+that element degrades to ``args_hex`` with the remaining bits; headers
+and message identity (the operationally load-bearing part) always
+decode.  The decoder never raises.
 """
 
 from __future__ import annotations
 
+from . import fans
 from .bitio import BitReader, BitWriter
 
 # ----------------------------------------------------------- message sets
@@ -271,14 +276,9 @@ DOWNLINK_TITLES = {
 N_UPLINK = 183           # UM0..UM182 -> 8-bit choice index
 N_DOWNLINK = 81          # DM0..DM80  -> 7-bit choice index
 
-# elements whose argument is NULL (zero content bits) — parsing can
-# continue past them.  Everything else stops structured decode.
-UPLINK_NULL = {0, 1, 2, 3, 4, 5, 67, 72, 96, 107, 116, 124, 125, 126, 127,
-               131, 132, 133, 134, 135, 136, 137, 138, 139, 140, 141, 142,
-               143, 144, 145, 146, 147, 154, 156, 161, 162, 164, 165, 166,
-               167, 168, 176, 177, 178, 179, 182}
-DOWNLINK_NULL = {0, 1, 2, 3, 4, 5, 20, 25, 41, 51, 52, 53, 55, 56, 58, 63,
-                 65, 66, 69, 74, 75}
+# element -> UPER argument type (complete: every UM/DM is mapped)
+UPLINK_ARGS = fans.UM_ARGS
+DOWNLINK_ARGS = fans.DM_ARGS
 
 UPLINK_FREETEXT = {169, 170}
 DOWNLINK_FREETEXT = {67, 68}
@@ -291,22 +291,11 @@ IMI_NAMES = {
 }
 
 
-def _read_freetext(r: BitReader) -> str:
-    n = r.read(8) + 1                       # SIZE(1..256)
-    return "".join(chr(r.read(7)) for _ in range(n))
-
-
-def _write_freetext(w: BitWriter, s: str) -> None:
-    w.write(len(s) - 1, 8)
-    for ch in s:
-        w.write(ord(ch) & 0x7F, 7)
-
-
 def _decode_element(r: BitReader, downlink: bool) -> tuple[dict, bool]:
     """Returns (element dict, can_continue)."""
     nbits = 7 if downlink else 8
     titles = DOWNLINK_TITLES if downlink else UPLINK_TITLES
-    nulls = DOWNLINK_NULL if downlink else UPLINK_NULL
+    argmap = DOWNLINK_ARGS if downlink else UPLINK_ARGS
     freetexts = DOWNLINK_FREETEXT if downlink else UPLINK_FREETEXT
     n_alts = N_DOWNLINK if downlink else N_UPLINK
     idx = r.read(nbits)
@@ -315,13 +304,25 @@ def _decode_element(r: BitReader, downlink: bool) -> tuple[dict, bool]:
     if idx >= n_alts:
         el["title"] = "unknown element"
         return el, False
-    el["title"] = titles.get(idx, f"{kind}{idx}")
-    if idx in nulls:
-        return el, True
-    if idx in freetexts:
-        el["freetext"] = _read_freetext(r)
-        return el, True
-    return el, False
+    title = titles.get(idx, f"{kind}{idx}")
+    el["title"] = title
+    args_start = r.pos
+    try:
+        args = argmap[idx].dec(r)
+    except (EOFError, ValueError) as e:
+        r.pos = args_start
+        el["args_hex"] = r.remainder_hex()
+        el["args_error"] = str(e)
+        return el, False
+    if args is not True:                    # non-NULL argument
+        if idx in freetexts:
+            el["freetext"] = args
+        else:
+            el["args"] = args
+        el["text"] = fans.render_title(title, args)
+    else:
+        el["text"] = title
+    return el, True
 
 
 def decode_at1(payload: bytes, downlink: bool) -> dict:
@@ -349,9 +350,30 @@ def decode_at1(payload: bytes, downlink: bool) -> dict:
                     break
         out["elements"] = elements
         if not ok and r.bits_left:
-            elements[-1]["args_hex"] = r.remainder_hex()
+            elements[-1].setdefault("args_hex", r.remainder_hex())
     except EOFError:
         out["decode_error"] = "truncated"
+    return out
+
+
+def decode_session(payload: bytes) -> dict:
+    """Best-effort decode of a CR1/CC1/DR1 session-management payload.
+
+    The connect request/confirm bodies carry the handing-over/receiving
+    ATC facility.  When the payload cleanly parses as a UPER 4-letter
+    ICAO facility designation (7-bit IA5, A-Z only, <= 7 pad bits of
+    zeros) we surface it; the raw hex is always kept alongside.
+    """
+    out = {"payload_hex": payload.hex().upper()}
+    try:
+        r = BitReader(payload)
+        fac = fans.FACILITY_DESIGNATION.dec(r)
+        pad_ok = r.bits_left < 8 and (r.read(r.bits_left) == 0
+                                      if r.bits_left else True)
+        if pad_ok and all("A" <= c <= "Z" for c in fac):
+            out["facility_designation"] = fac
+    except (EOFError, ValueError):
+        pass
     return out
 
 
@@ -361,8 +383,7 @@ def decode(imi: str, payload: bytes, downlink: bool) -> dict:
     if imi == "AT1":
         body.update(decode_at1(payload, downlink))
     else:
-        # CR1/CC1/DR1 session-management payloads: identity only
-        body["payload_hex"] = payload.hex().upper()
+        body.update(decode_session(payload))
     return {"cpdlc": body}
 
 
@@ -372,7 +393,9 @@ def encode_at1(msg_id: int, elements, msg_ref: int | None = None,
                timestamp: str | None = None, downlink: bool = True) -> bytes:
     """Build a FANS-1/A AT1 UPER payload (tests / synthetic ground).
 
-    ``elements``: list of (um_or_dm_number, freetext_or_None)."""
+    ``elements``: list of (um_or_dm_number, args) where ``args`` is the
+    JSON-able value for that element's argument type (fans.UM_ARGS /
+    fans.DM_ARGS) — a str for free-text elements, None for NULL ones."""
     w = BitWriter()
     w.write(1 if len(elements) > 1 else 0, 1)
     w.write((2 if msg_ref is not None else 0) |
@@ -386,16 +409,16 @@ def encode_at1(msg_id: int, elements, msg_ref: int | None = None,
         w.write(m, 6)
         w.write(s, 6)
     nbits = 7 if downlink else 8
-    freetexts = DOWNLINK_FREETEXT if downlink else UPLINK_FREETEXT
+    argmap = DOWNLINK_ARGS if downlink else UPLINK_ARGS
 
-    def put(num, text):
+    def put(num, args):
         w.write(num, nbits)
-        if num in freetexts and text is not None:
-            _write_freetext(w, text)
+        if args is not None:
+            argmap[num].enc(w, args)
 
     put(*elements[0])
     if len(elements) > 1:
         w.write(len(elements) - 2, 2)
-        for num, text in elements[1:]:
-            put(num, text)
+        for num, args in elements[1:]:
+            put(num, args)
     return w.to_bytes()

@@ -251,3 +251,120 @@ def test_afn_envelope():
     assert tags == ["FMH", "FPO"]
     assert parsed["afn"]["fields"][0]["data"].startswith("ZK-OKQ")
     assert parsed["afn"]["crc_hex"] == "ABCD"
+
+
+# ------------------------------------- FANS-1/A full argument round trips
+
+def _gen_value(typ, rng):
+    """Random valid value for a UPER combinator (None for NULL)."""
+    from aero_tpu.protocol import uper
+    if isinstance(typ, uper.NULL):
+        return None
+    if isinstance(typ, uper.INT):
+        raw = rng.randint(typ.lo, typ.hi)
+        if typ.scale == 1:
+            return raw
+        v = raw * typ.scale
+        return round(v, 10) if isinstance(v, float) else v
+    if isinstance(typ, uper.ENUM):
+        return rng.choice(typ.names)
+    if isinstance(typ, uper.SEQ):
+        out = {}
+        for name, ftyp, opt in typ.fields:
+            if opt and rng.random() < 0.5:
+                continue
+            v = _gen_value(ftyp, rng)
+            out[name] = True if v is None else v
+        return out
+    if isinstance(typ, uper.CHOICE):
+        name, alt = rng.choice(typ.alts)
+        v = _gen_value(alt, rng)
+        return {name: True if v is None else v}
+    if isinstance(typ, uper.SEQOF):
+        n = rng.randint(typ.lo, min(typ.hi, typ.lo + 3))
+        return [_gen_value(typ.typ, rng) for _ in range(n)]
+    if isinstance(typ, uper.NUMSTR):
+        n = rng.randint(typ.lo, min(typ.hi, typ.lo + 6))
+        return "".join(rng.choice("0123456789") for _ in range(n))
+    if isinstance(typ, uper._String):
+        n = rng.randint(typ.lo, min(typ.hi, typ.lo + 6))
+        return "".join(rng.choice("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789")
+                       for _ in range(n))
+    raise AssertionError(f"unhandled type {typ}")
+
+
+def test_fans_every_element_argument_round_trips():
+    """decode(encode(v)) == v for a random value of EVERY UM/DM argument
+    type, and the decode consumes exactly the encoded bits."""
+    import random
+    from aero_tpu.protocol import fans
+    from aero_tpu.protocol.bitio import BitReader, BitWriter
+    from aero_tpu.protocol.uper import NULL
+
+    rng = random.Random(0x622)
+    for argmap, kind in ((fans.UM_ARGS, "UM"), (fans.DM_ARGS, "DM")):
+        for num, typ in sorted(argmap.items()):
+            if isinstance(typ, NULL):
+                continue
+            for _ in range(8):
+                v = _gen_value(typ, rng)
+                w = BitWriter()
+                typ.enc(w, v)
+                r = BitReader(w.to_bytes())
+                got = typ.dec(r)
+                assert got == v, f"{kind}{num}: {got!r} != {v!r}"
+                assert w.bit_len - r.pos == 0, f"{kind}{num}: bit misalign"
+
+
+def test_fans_every_element_through_at1_path():
+    """Every element also survives the full AT1 encode -> decode path
+    (header + choice index + args + multi-element renders)."""
+    import random
+    from aero_tpu.protocol import cpdlc, fans
+    from aero_tpu.protocol.uper import NULL
+
+    rng = random.Random(0xA1)
+    for argmap, downlink in ((fans.UM_ARGS, False), (fans.DM_ARGS, True)):
+        for num, typ in sorted(argmap.items()):
+            v = None if isinstance(typ, NULL) else _gen_value(typ, rng)
+            pay = cpdlc.encode_at1(rng.randint(0, 63), [(num, v)],
+                                   downlink=downlink)
+            out = cpdlc.decode("AT1", pay, downlink=downlink)["cpdlc"]
+            el = out["elements"][0]
+            assert el["id"] == f"{'DM' if downlink else 'UM'}{num}"
+            assert "args_hex" not in el, el
+            assert "text" in el
+            if v is not None:
+                got = el.get("args", el.get("freetext"))
+                assert got == v, f"{el['id']}: {got!r} != {v!r}"
+
+
+def test_fans_rendered_titles():
+    from aero_tpu.protocol import cpdlc
+    pay = cpdlc.encode_at1(1, [(20, {"flight_level": 350})],
+                           downlink=False)
+    el = cpdlc.decode("AT1", pay, downlink=False)["cpdlc"]["elements"][0]
+    assert el["text"] == "CLIMB TO AND MAINTAIN FL350"
+
+    pay = cpdlc.encode_at1(2, [(117, {
+        "unit_name": {"facility": {"designation": "KZAK"},
+                      "function": "center"},
+        "frequency": {"hf_khz": 8843}})], downlink=False)
+    el = cpdlc.decode("AT1", pay, downlink=False)["cpdlc"]["elements"][0]
+    assert el["text"] == "CONTACT KZAK CENTER 8843 kHz"
+
+    pay = cpdlc.encode_at1(3, [(123, [4, 6, 1, 2])], downlink=False)
+    el = cpdlc.decode("AT1", pay, downlink=False)["cpdlc"]["elements"][0]
+    assert el["text"] == "SQUAWK 4612"
+
+
+def test_cpdlc_connect_request_facility():
+    from aero_tpu.protocol import cpdlc
+    from aero_tpu.protocol.bitio import BitWriter
+    w = BitWriter()
+    for ch in "NZZO":
+        w.write(ord(ch), 7)
+    out = cpdlc.decode("CR1", w.to_bytes(), downlink=False)["cpdlc"]
+    assert out["type"] == "cpdlc_connect_request"
+    assert out["facility_designation"] == "NZZO"
+    assert "payload_hex" in out
