@@ -207,9 +207,87 @@ _DOWNLINK_PARSERS = {
     23: (8, _fixed_intent),
 }
 
+REPORT_INTERVAL_SCALE = (1, 8, 64, 256)     # seconds per LSB, by 2-bit scale
+
+# group-request tags inside a periodic contract request: the downlink
+# group tag followed by a 1-byte modulus ("include every Nth report")
+_MODULUS_GROUPS = {12: "flight_id", 13: "predicted_route", 14: "earth_ref",
+                   15: "air_ref", 16: "meteo", 17: "airframe_id"}
+
+
+def _periodic_contract(r: BitReader) -> dict:
+    """Periodic / emergency-periodic contract request: contract number,
+    then group-request tags to end of payload (DO-258A structure;
+    reporting interval = 2-bit scale x 6-bit count, documented
+    reconstruction — round-trip tested like the rest of this module)."""
+    out: dict = {"contract_num": r.read(8)}
+    requests = []
+    while r.bits_left >= 8:
+        tag = r.read(8)
+        if tag == 0:                                 # reporting interval
+            scale = r.read(2)
+            count = r.read(6)
+            out["reporting_interval_s"] = REPORT_INTERVAL_SCALE[scale] * count
+        elif tag in _MODULUS_GROUPS:
+            requests.append({"group": _MODULUS_GROUPS[tag], "tag": tag,
+                             "modulus": r.read(8)})
+        else:
+            out["unknown_request_hex"] = (bytes([tag]).hex().upper()
+                                          + r.remainder_hex())
+            break
+    if requests:
+        out["group_requests"] = requests
+    return out
+
+
+def _event_contract(r: BitReader) -> dict:
+    """Event contract request: contract number, then event tags with
+    thresholds (reconstruction, see _periodic_contract)."""
+    out: dict = {"contract_num": r.read(8)}
+    events = []
+    while r.bits_left >= 8:
+        tag = r.read(8)
+        if tag == 10:                                # lateral deviation
+            events.append({"event": "lateral_deviation_change", "tag": tag,
+                           "threshold_nm": r.read(8) * 0.25})
+        elif tag == 18:                              # vertical rate
+            events.append({"event": "vertical_rate_change", "tag": tag,
+                           "threshold_fpm": r.read_signed(16) * 16})
+        elif tag == 19:                              # altitude range
+            events.append({"event": "altitude_range_change", "tag": tag,
+                           "ceiling_ft": r.read_signed(16) * 4,
+                           "floor_ft": r.read_signed(16) * 4})
+        elif tag == 20:                              # waypoint change
+            events.append({"event": "waypoint_change", "tag": tag})
+        else:
+            out["unknown_event_hex"] = (bytes([tag]).hex().upper()
+                                        + r.remainder_hex())
+            break
+    if events:
+        out["events"] = events
+    return out
+
+
+def _noncompliance(r: BitReader) -> dict:
+    """Noncompliance notification: contract request number + the list of
+    (group tag, reason) pairs the aircraft cannot comply with."""
+    out: dict = {"contract_request_num": r.read(8)}
+    items = []
+    while r.bits_left >= 16:
+        items.append({"tag": r.read(8), "reason": r.read(8)})
+    if items:
+        out["noncomplying_groups"] = items
+    return out
+
+
+_DOWNLINK_PARSERS[5] = (None, _noncompliance)
+
 _UPLINK_PARSERS = {
     1: (0, lambda r: {}),
     2: (1, lambda r: {"contract_num": r.read(8)}),
+    7: (None, _periodic_contract),
+    8: (None, _event_contract),
+    9: (None, _periodic_contract),
     10: (0, lambda r: {}),
 }
 
@@ -341,3 +419,60 @@ def encode_predicted_route(next_wp: dict, next_plus_one: dict) -> bytes:
 
 def encode_ack(contract_request_num: int) -> bytes:
     return bytes([3, contract_request_num & 0xFF])
+
+
+def encode_periodic_contract_request(contract_num: int,
+                                     interval_s: int | None = None,
+                                     group_moduli: dict | None = None,
+                                     emergency: bool = False) -> bytes:
+    """Uplink periodic (or emergency-periodic) contract request.
+    ``group_moduli``: {downlink group tag: modulus}."""
+    w = BitWriter()
+    w.write(9 if emergency else 7, 8)
+    w.write(contract_num & 0xFF, 8)
+    if interval_s is not None:
+        for scale_idx in range(len(REPORT_INTERVAL_SCALE)):
+            scale = REPORT_INTERVAL_SCALE[scale_idx]
+            if interval_s % scale == 0 and interval_s // scale < 64:
+                break
+        else:
+            raise ValueError(f"unencodable interval {interval_s}")
+        w.write(0, 8)
+        w.write(scale_idx, 2)
+        w.write(interval_s // scale, 6)
+    for tag, modulus in (group_moduli or {}).items():
+        w.write(tag, 8)
+        w.write(modulus & 0xFF, 8)
+    return w.to_bytes()
+
+
+def encode_event_contract_request(contract_num: int, events: list) -> bytes:
+    """Uplink event contract request.  ``events``: list of dicts shaped
+    like _event_contract's output entries."""
+    w = BitWriter()
+    w.write(8, 8)
+    w.write(contract_num & 0xFF, 8)
+    for ev in events:
+        tag = ev["tag"]
+        w.write(tag, 8)
+        if tag == 10:
+            w.write(round(ev["threshold_nm"] / 0.25), 8)
+        elif tag == 18:
+            w.write_signed(ev["threshold_fpm"] // 16, 16)
+        elif tag == 19:
+            w.write_signed(ev["ceiling_ft"] // 4, 16)
+            w.write_signed(ev["floor_ft"] // 4, 16)
+        elif tag != 20:
+            raise ValueError(f"unknown event tag {tag}")
+    return w.to_bytes()
+
+
+def encode_noncompliance(contract_request_num: int, groups: list) -> bytes:
+    """Downlink noncompliance notification.  ``groups``: [(tag, reason)]."""
+    w = BitWriter()
+    w.write(5, 8)
+    w.write(contract_request_num & 0xFF, 8)
+    for tag, reason in groups:
+        w.write(tag, 8)
+        w.write(reason, 8)
+    return w.to_bytes()

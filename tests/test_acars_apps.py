@@ -368,3 +368,45 @@ def test_cpdlc_connect_request_facility():
     assert out["type"] == "cpdlc_connect_request"
     assert out["facility_designation"] == "NZZO"
     assert "payload_hex" in out
+
+
+# ------------------------------------------- ADS-C contract-request decode
+
+def test_adsc_periodic_contract_request_round_trip():
+    from aero_tpu.protocol import adsc
+    pay = adsc.encode_periodic_contract_request(
+        5, interval_s=512, group_moduli={12: 1, 16: 4})
+    out = adsc.decode(pay, downlink=False)["adsc"]
+    g = out["groups"][0]
+    assert g["group"] == "periodic_contract_request"
+    assert g["contract_num"] == 5
+    assert g["reporting_interval_s"] == 512
+    reqs = {r["group"]: r["modulus"] for r in g["group_requests"]}
+    assert reqs == {"flight_id": 1, "meteo": 4}
+    assert "decode_error" not in out
+
+
+def test_adsc_event_contract_request_round_trip():
+    from aero_tpu.protocol import adsc
+    events = [{"event": "lateral_deviation_change", "tag": 10,
+               "threshold_nm": 2.0},
+              {"event": "altitude_range_change", "tag": 19,
+               "ceiling_ft": 40000, "floor_ft": 36000},
+              {"event": "waypoint_change", "tag": 20}]
+    pay = adsc.encode_event_contract_request(9, events)
+    out = adsc.decode(pay, downlink=False)["adsc"]
+    g = out["groups"][0]
+    assert g["group"] == "event_contract_request"
+    assert g["events"] == events
+    assert "decode_error" not in out
+
+
+def test_adsc_noncompliance_round_trip():
+    from aero_tpu.protocol import adsc
+    pay = adsc.encode_noncompliance(3, [(13, 1), (16, 2)])
+    out = adsc.decode(pay, downlink=True)["adsc"]
+    g = out["groups"][0]
+    assert g["group"] == "noncompliance_notification"
+    assert g["contract_request_num"] == 3
+    assert g["noncomplying_groups"] == [{"tag": 13, "reason": 1},
+                                        {"tag": 16, "reason": 2}]
