@@ -70,10 +70,12 @@ def main(argv=None) -> int:
         verbose=args.verbose,
     )
     dec = Decoder(opts)
+    from aero_tpu.utils.signals import EventNotifier
+    notifier = EventNotifier().install()
     if args.input_file:
         dec.run_file(args.input_file, args.input_rate)
     else:
-        dec.run_zmq(args.publisher, args.topic)
+        dec.run_zmq(args.publisher, args.topic, notifier=notifier)
     return 0
 
 

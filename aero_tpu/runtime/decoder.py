@@ -199,11 +199,15 @@ class Decoder:
 
     # ---- run loops ----
 
-    def run_zmq(self, url: str, topic: str):
+    def run_zmq(self, url: str, topic: str, notifier=None):
+        """Consume the publisher stream until EOF-equivalent conditions:
+        a futile full scan (with no_signal_exit) or a shutdown request
+        from ``notifier`` (utils.signals.EventNotifier, the reference's
+        common/notifier.cpp SIGINT/SIGTERM bridge)."""
         from aero_tpu.io.zmq_transport import ZmqSubscriber
         sub = ZmqSubscriber(url, topic)
         try:
-            while True:
+            while not (notifier and notifier.stop_requested):
                 msg = sub.recv(timeout_ms=100)
                 if msg is not None:
                     _, rate, payload = msg

@@ -72,10 +72,14 @@ def main(argv=None) -> int:
             main_pub.publish(topic, rate, payload)
 
     B = cfg.buflen_complex
+    from aero_tpu.utils.signals import EventNotifier
+    notifier = EventNotifier().install()
 
     def stream_blocks(reader):
         carry = np.zeros(0, np.complex64)
         for chunk in reader:
+            if notifier.stop_requested:
+                return
             carry = np.concatenate([carry, chunk])
             while len(carry) >= B:
                 emit(ch.process(carry[:B]))

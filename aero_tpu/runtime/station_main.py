@@ -82,10 +82,26 @@ def main(argv=None) -> int:
         B = cfg.buflen_complex
     last_stats = time.time()
 
+    # SIGINT/SIGTERM stop the pump cleanly (then stats flush below);
+    # SIGHUP dumps a stats line on demand (EventNotifier parity,
+    # ref common/notifier.cpp wired in decode/main.cpp).
+    from aero_tpu.utils.signals import EventNotifier
+
+    def hup_stats():
+        s = st.stats
+        print(json.dumps({"stats_on_sighup": {
+            "wideband_samples": s.wideband_samples, "frames": s.frames,
+            "su_ok": s.su_ok, "su_bad": s.su_bad, "acars": s.acars}}),
+            file=sys.stderr, flush=True)
+
+    notifier = EventNotifier(on_hangup=hup_stats).install()
+
     def pump(reader):
         nonlocal last_stats
         carry = np.zeros(0, np.complex64)
         for chunk in reader:
+            if notifier.stop_requested:
+                break
             carry = np.concatenate([carry, chunk])
             while len(carry) >= B:
                 st.process(carry[:B])

@@ -410,3 +410,25 @@ def test_adsc_noncompliance_round_trip():
     assert g["contract_request_num"] == 3
     assert g["noncomplying_groups"] == [{"tag": 13, "reason": 1},
                                         {"tag": 16, "reason": 2}]
+
+
+# ------------------------------------------------- adversarial robustness
+
+def test_app_decoders_never_raise_on_garbage():
+    """The reference's contract (and libacars'): malformed payloads
+    degrade, never throw.  Fuzz all three binary decoders."""
+    import random
+    from aero_tpu.protocol import adsc, cpdlc
+    from aero_tpu.protocol.acars_apps import decode_apps
+
+    rng = random.Random(0xFADE)
+    for trial in range(300):
+        n = rng.randint(0, 40)
+        payload = bytes(rng.randrange(256) for _ in range(n))
+        adsc.decode(payload, downlink=bool(trial % 2))
+        for imi in ("AT1", "CR1", "CC1", "DR1"):
+            cpdlc.decode(imi, payload, downlink=bool(trial % 2))
+        # and through the text envelope path with random printable junk
+        txt = "".join(chr(rng.randint(0x20, 0x7E)) for _ in range(n))
+        decode_apps("H1", txt, downlink=bool(trial % 2))
+        decode_apps("A6", "/" + txt, downlink=bool(trial % 2))

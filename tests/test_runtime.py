@@ -181,3 +181,70 @@ def test_decoder_runtime_8400_voice(tmp_path):
     assert dec.voice_frames >= 2
     data = vout.read_bytes()
     assert frames[0][1] in data and frames[1][1] in data
+
+
+def test_event_notifier_flags_and_hooks():
+    from aero_tpu.utils.signals import EventNotifier
+    fired = []
+    n = EventNotifier(on_hangup=lambda: fired.append("hup"),
+                      on_stop=lambda: fired.append("stop"))
+    assert not n.stop_requested
+    n._handle_hangup(1, None)
+    assert fired == ["hup"] and not n.stop_requested
+    n._handle_stop(15, None)
+    assert n.stop_requested and fired == ["hup", "stop"]
+    # install/uninstall restore previous handlers on the main thread
+    import signal as _sig
+    prev = _sig.getsignal(_sig.SIGTERM)
+    n2 = EventNotifier().install()
+    assert _sig.getsignal(_sig.SIGTERM) is not prev
+    n2.uninstall()
+    assert _sig.getsignal(_sig.SIGTERM) is prev
+
+
+def test_station_cli_sigterm_clean_exit(tmp_path):
+    """SIGTERM mid-stream stops the station CLI cleanly: exit 0 and the
+    final_stats line still prints (EventNotifier parity)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    ini = tmp_path / "st.ini"
+    ini.write_text("sample_rate=288000\ncenter_frequency=1545100000\n"
+                   "[vfos]\nsize=1\n1\\vfo_frequency=1545100000\n"
+                   "1\\data_rate=1200\n1\\topic=VFO1\n")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "aero_tpu.runtime.station_main",
+         "-c", str(ini), "--iq-stdin", "--platform", "cpu",
+         "--backend", "tree"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    try:
+        import numpy as np
+        block = np.zeros(288000 // 2, np.complex64).tobytes()
+        deadline = time.time() + 120
+        # feed until the process has compiled + consumed at least a block
+        for _ in range(40):
+            proc.stdin.write(block)
+            proc.stdin.flush()
+        proc.send_signal(signal.SIGTERM)
+        # keep feeding so the loop observes the flag (write may EPIPE once
+        # the process exits — that's the success path)
+        try:
+            while time.time() < deadline and proc.poll() is None:
+                proc.stdin.write(block)
+                proc.stdin.flush()
+                time.sleep(0.05)
+        except (BrokenPipeError, OSError):
+            pass
+        rc = proc.wait(timeout=60)
+        err = proc.stderr.read().decode()
+        assert rc == 0, err[-2000:]
+        assert "final_stats" in err
+    finally:
+        if proc.poll() is None:
+            proc.kill()
