@@ -151,3 +151,43 @@ def test_fused_station_decodes_end_to_end():
     st.flush()
     assert ("V2", "FUSED OK") in msgs
     assert st.stats.su_ok > 0
+
+
+def test_station_full_54w_bank_capacity():
+    """BASELINE.md capacity target: the full 54W L-band VFO bank (26
+    channels, configs/aor_w_54_lband.ini) runs in ONE station process —
+    the reference needs 26 aero-decode processes.  A live MSK 1200
+    signal on VFO08 decodes while the whole bank is channelized."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs", "aor_w_54_lband.ini")
+    cfg = load_ini(path)
+    assert len(cfg.subs) == 26
+    assert sum(1 for s in cfg.subs if s.burst) == 2
+    fs = cfg.sample_rate
+
+    ud = make_acars_userdata("2", "N54W", "!", "AA", "A", "FULL BANK")
+    sus = [append_crc16_bytes(b) for b in segment_isu(ud, 0x543210, 0x41)]
+    fill = append_crc16_bytes(bytes([0x01] + [0] * 9))
+    while len(sus) % 6:
+        sus.append(fill)
+    fields = [b"".join(sus[j:j + 6]) for j in range(0, len(sus), 6)]
+    # VFO08 sits at 1545.120 MHz; center is 1545.200 MHz -> -80 kHz,
+    # plus the usual +1 kHz audio offset (the USB-demod channel puts the
+    # carrier above DC, exactly like the reference's SDRReceiver setup)
+    s = _synth_msk(build_p_frames(fields, 1200, lead_frames=3), fs, 1200.0,
+                   -80000 + 1000) * 20.0
+    rng = np.random.default_rng(54)
+    n = len(s) + fs
+    wb = np.zeros(n, np.complex64)
+    wb[: len(s)] += s.astype(np.complex64)
+    wb += (rng.normal(0, 0.003, n) + 1j
+           * rng.normal(0, 0.003, n)).astype(np.complex64)
+
+    got = {}
+    st = Station(cfg, on_acars=lambda t, item: got.setdefault(t, item.message))
+    B = cfg.buflen_complex
+    for i in range(len(wb) // B):
+        st.process(wb[i * B:(i + 1) * B])
+    assert got.get("VFO08") == "FULL BANK", got
+    assert st.stats.wideband_samples == (len(wb) // B) * B
