@@ -47,7 +47,16 @@ def coarse_freq_estimate(y_state, x, *, nfft: int, fb: float, fs: float,
     sq = xlp * xlp
     S = jnp.fft.fftshift(jnp.fft.fft(sq, axis=-1), axes=-1)
 
-    db = 10.0 * jnp.log10(jnp.maximum(jnp.abs(S), 1.0))
+    # scale-invariant dB spectrum: the reference floors at an absolute 1.0
+    # (coarsefreqestimate.cpp:116) because its input is pre-scaled by the
+    # demod AGC; here the estimator sees raw audio at arbitrary level
+    # (e.g. the INI default gain is 0.01, vfo.cpp:7), so normalize by the
+    # block peak and floor 40 dB below it instead — otherwise a quiet
+    # channel's spectrum clamps flat and the fold argmax pins to the
+    # locking-band edge, retuning forever.
+    mag = jnp.abs(S)
+    ref = jnp.max(mag, axis=-1, keepdims=True)
+    db = 10.0 * jnp.log10(jnp.maximum(mag / jnp.maximum(ref, 1e-30), 1e-4))
     # the reference smooths 0.9/0.1 per FFT at ~4 overlapped FFTs/s
     # (mskdemodulator.cpp:287, coarsefreqestimate.cpp:116); at our one FFT
     # per ~0.7 s block, 0.7/0.3 gives the same effective time constant

@@ -30,13 +30,20 @@ def test_zmq_publisher_to_decoder():
     url = "tcp://127.0.0.1:59692"
     dec = Decoder(DecoderOptions(bitrate=1200, no_signal_exit=False))
 
+    done = threading.Event()
+
     def publish():
+        # ZMQ PUB drops frames sent before the SUB is connected, and under a
+        # loaded machine the subscribe can land late — so keep replaying the
+        # stream (the demod re-locks each pass) until the decode succeeds.
         pub = ZmqPublisher(url, bind=True, legacy_topic_len5=True)
         time.sleep(0.5)
         chunk = 4800 * 2
-        for i in range(0, len(pcm), chunk):
-            pub.publish("VFO1", 24000, pcm[i:i + chunk])
-        time.sleep(0.2)
+        for _ in range(12):
+            for i in range(0, len(pcm), chunk):
+                pub.publish("VFO1", 24000, pcm[i:i + chunk])
+            if done.wait(timeout=1.0):
+                break
         pub.close()
 
     t = threading.Thread(target=publish)
@@ -53,7 +60,8 @@ def test_zmq_publisher_to_decoder():
             continue
         _, rate, payload = msg
         dec.feed_audio(payload, rate)
-    t.join(timeout=5)
+    done.set()
+    t.join(timeout=15)
     sub.close()
 
     assert dec.items, "no ACARS decoded over the wire"
