@@ -55,7 +55,10 @@ class FusedStation:
         self.on_acars = on_acars or (lambda vfo, item: None)
         self.stats = StationStats()
         self.ingest_dtype = ingest_dtype
-        self._iscale = {"int8": 127.0, "int16": 32767.0,
+        # "int4": both arms packed into ONE uint8/sample (re in the high
+        # nibble), the reference's own IQ compress style (vfo.cpp:262-275)
+        # — halves host->device bandwidth again vs int8
+        self._iscale = {"int4": 7.0, "int8": 127.0, "int16": 32767.0,
                         "float32": 1.0}[ingest_dtype]
 
         # ---- group sub VFOs by out_rate; one PFB per group ----
@@ -113,6 +116,23 @@ class FusedStation:
                     on_acars=self._mk_sink(t))
 
         self._gain = gain
+        # output packing: the step returns ONE uint8 soft-bit buffer and ONE
+        # float32 telemetry buffer instead of a nested per-group dict — a
+        # tunneled/DCN-attached device pays a round trip per fetched leaf,
+        # and the leaf count (4 x n_groups) was the end-to-end ceiling
+        self._order = sorted(self.groups)
+        self._soft_ofs = {}
+        self._tel_ofs = {}
+        soft_pos = tel_pos = 0
+        for out_rate in self._order:
+            _, dcfg = self._group_cfg[out_rate]
+            nb = len(self.groups[out_rate])
+            # both demod families emit block_len * fb / fs soft bits/block
+            n_soft = int(round(dcfg.block_len * dcfg.fb / dcfg.fs))
+            self._soft_ofs[out_rate] = (soft_pos, n_soft)
+            soft_pos += nb * n_soft
+            self._tel_ofs[out_rate] = tel_pos
+            tel_pos += 3 * nb
         self._state = jax.jit(self._init_state)()
         self._step = jax.jit(self._make_step())
         # double-buffered dispatch (SURVEY.md §7: async dispatch +
@@ -153,9 +173,19 @@ class FusedStation:
         group_cfg = self._group_cfg
         Ks = self._K
 
+        int4 = self.ingest_dtype == "int4"
+
         def step(state, iq2):
-            x = (iq2[0].astype(jnp.float32)
-                 + 1j * iq2[1].astype(jnp.float32)) / iscale
+            if int4:
+                # [T] uint8, re<<4 | im (two's-complement nibbles)
+                hi = (iq2 >> 4).astype(jnp.int32)
+                lo = (iq2 & 0xF).astype(jnp.int32)
+                re = jnp.where(hi > 7, hi - 16, hi).astype(jnp.float32)
+                im = jnp.where(lo > 7, lo - 16, lo).astype(jnp.float32)
+                x = (re + 1j * im) / iscale
+            else:
+                x = (iq2[0].astype(jnp.float32)
+                     + 1j * iq2[1].astype(jnp.float32)) / iscale
             new = {}
             outs = {}
             for out_rate, idxs in groups.items():
@@ -194,18 +224,32 @@ class FusedStation:
                     "demod": dst,
                 }
                 outs[out_rate] = out
-            return new, outs
+            # pack everything the host needs into two flat buffers (one
+            # fetch each) — leaf-per-leaf fetches pay a tunnel round trip
+            soft = jnp.concatenate(
+                [outs[r]["soft_bits"].reshape(-1) for r in self._order])
+            telem = jnp.concatenate([
+                jnp.stack([outs[r]["signal"].astype(jnp.float32),
+                           outs[r]["mse"].astype(jnp.float32),
+                           outs[r]["ebno"].astype(jnp.float32)]).reshape(-1)
+                for r in self._order])
+            return new, soft, telem
 
         return step
 
     # ---- host driver ----
 
     def quantize(self, iq: np.ndarray) -> np.ndarray:
-        """complex64 [T] -> ingest array [2, T] of the configured dtype."""
+        """complex64 [T] -> ingest array of the configured dtype:
+        [2, T] for int8/int16/float32, packed [T] uint8 for int4."""
+        lim = self._iscale
+        if self.ingest_dtype == "int4":
+            re = np.clip(np.round(iq.real * lim), -8, 7).astype(np.int64)
+            im = np.clip(np.round(iq.imag * lim), -8, 7).astype(np.int64)
+            return (((re & 0xF) << 4) | (im & 0xF)).astype(np.uint8)
         pair = np.stack([iq.real, iq.imag])
         if self.ingest_dtype == "float32":
             return pair.astype(np.float32)
-        lim = self._iscale
         return np.clip(pair * lim, -lim, lim).astype(self.ingest_dtype)
 
     def process(self, iq_or_quantized: np.ndarray):
@@ -213,33 +257,39 @@ class FusedStation:
         pre-quantized [2, T] in the configured ingest dtype."""
         t0 = time.perf_counter()
         arr = np.asarray(iq_or_quantized)
-        if arr.ndim == 1:
+        if np.iscomplexobj(arr):
             arr = self.quantize(arr.astype(np.complex64))
-        assert arr.shape == (2, self.block_len), arr.shape
-        self._state, outs = self._step(self._state, jnp.asarray(arr))
+        want = ((self.block_len,) if self.ingest_dtype == "int4"
+                else (2, self.block_len))
+        assert arr.shape == want, (arr.shape, want)
+        self._state, soft, telem = self._step(self._state, jnp.asarray(arr))
         if self._pipeline:
-            prev, self._inflight = self._inflight, outs
+            prev, self._inflight = self._inflight, (soft, telem)
             if prev is None:
                 self.stats.wideband_samples += self.block_len
                 self.stats.wall_seconds += time.perf_counter() - t0
                 return
-            outs = prev
-        self._drain(outs)
+            soft, telem = prev
+        self._drain(soft, telem)
         self.stats.wideband_samples += self.block_len
         self.stats.wall_seconds += time.perf_counter() - t0
 
     def flush(self):
         """Drain the in-flight block (call at end of stream)."""
         if self._inflight is not None:
-            out, self._inflight = self._inflight, None
-            self._drain(out)
+            (soft, telem), self._inflight = self._inflight, None
+            self._drain(soft, telem)
 
-    def _drain(self, outs):
-        for out_rate, out in outs.items():
-            soft = np.asarray(out["soft_bits"])
+    def _drain(self, soft, telem):
+        soft = np.asarray(soft)
+        self.telemetry = np.asarray(telem)
+        for out_rate in self._order:
+            pos, n_soft = self._soft_ofs[out_rate]
+            nb = len(self.groups[out_rate])
+            rows = soft[pos: pos + nb * n_soft].reshape(nb, n_soft)
             for row, topic in enumerate(self.topics[out_rate]):
                 for ev in self.framers[topic].feed(
-                        soft[row].astype(np.float32)):
+                        rows[row].astype(np.float32)):
                     self.stats.frames += 1
                     for k, ok in enumerate(ev.su_crc_ok):
                         if ok:
@@ -248,3 +298,19 @@ class FusedStation:
                                 ev.infofield[k * 12:(k + 1) * 12])
                         else:
                             self.stats.su_bad += 1
+
+    def vfo_telemetry(self):
+        """Last drained block's per-VFO (signal, mse, ebno) by topic."""
+        tel = getattr(self, "telemetry", None)
+        if tel is None:
+            return {}
+        out = {}
+        for out_rate in self._order:
+            nb = len(self.groups[out_rate])
+            t = tel[self._tel_ofs[out_rate]:
+                    self._tel_ofs[out_rate] + 3 * nb].reshape(3, nb)
+            for row, topic in enumerate(self.topics[out_rate]):
+                out[topic] = {"signal": bool(t[0, row] > 0.5),
+                              "mse": float(t[1, row]),
+                              "ebno": float(t[2, row])}
+        return out

@@ -257,7 +257,9 @@ def bench_fused_station(B=50, n_iter=6):
     ini = (f"[General]\nsample_rate=1536000\ncenter_frequency=1545000000\n"
            f"[vfos]\nsize={B}\n{vfos}")
     cfg = load_ini(ini, is_text=True)
-    st = FusedStation(cfg, ingest_dtype="int8")
+    # packed-nibble ingest (1 byte/sample, the reference's own IQ compress
+    # style): host->device bandwidth is the binding constraint here
+    st = FusedStation(cfg, ingest_dtype="int4")
     rng = np.random.default_rng(0)
     blk = st.quantize((0.02 * (rng.standard_normal((st.block_len, 2))
                                @ [1, 1j])).astype(np.complex64))
@@ -363,7 +365,7 @@ def main():
             # last: end-to-end leaves the tunnel queue saturated
             rtf, B2 = bench_fused_station()
             print(f"fused_station: {rtf:.1f}x real time END TO END "
-                  f"({B2} VFOs, int8 ingest, incl. host framing + tunnel "
+                  f"({B2} VFOs, int4 ingest, incl. host framing + tunnel "
                   f"transfers)", file=sys.stderr)
         except Exception as e:                     # noqa: BLE001
             print(f"fused_station failed: {e}", file=sys.stderr)

@@ -141,16 +141,27 @@ def test_fused_station_decodes_end_to_end():
     t = np.arange(len(bb)) / 1536000.0
     wide = (bb * np.exp(2j * np.pi * delta * t)).astype(np.complex64)
 
-    msgs = []
-    st = FusedStation(cfg, on_acars=lambda v, item: msgs.append(
-        (v, item.message)))
-    wide = np.concatenate([wide, np.zeros(2 * st.block_len, np.complex64)])
-    n = (len(wide) // st.block_len) * st.block_len
-    for i in range(0, n, st.block_len):
-        st.process(wide[i:i + st.block_len])
-    st.flush()
-    assert ("V2", "FUSED OK") in msgs
-    assert st.stats.su_ok > 0
+    # int16 pair ingest AND packed-nibble int4 ingest (the reference's own
+    # IQ compress style, vfo.cpp:262-275) must both decode end to end
+    for ingest in ("int16", "int4"):
+        msgs = []
+        st = FusedStation(cfg, ingest_dtype=ingest,
+                          on_acars=lambda v, item: msgs.append(
+                              (v, item.message)))
+        w = np.concatenate([wide, np.zeros(2 * st.block_len, np.complex64)])
+        n = (len(w) // st.block_len) * st.block_len
+        v2_locked = False
+        for i in range(0, n, st.block_len):
+            st.process(w[i:i + st.block_len])
+            tel = st.vfo_telemetry()
+            if tel:
+                assert set(tel) == {f"V{k}" for k in range(B)}
+                if tel["V2"]["signal"] and tel["V2"]["mse"] < 0.5:
+                    v2_locked = True
+        st.flush()
+        assert ("V2", "FUSED OK") in msgs, ingest
+        assert st.stats.su_ok > 0
+        assert v2_locked, "per-VFO telemetry never showed V2 locked"
 
 
 def test_station_full_54w_bank_capacity():
