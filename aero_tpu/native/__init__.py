@@ -6,9 +6,12 @@ and the host-side hot spots get native equivalents:
 
 - ``libaeroviterbi.so``: K=7 r=1/2 soft Viterbi (libcorrect replacement)
   used by StreamingViterbi for single-frame host decodes.
+- ``libaeroingest.so``: the SDR reader thread's per-sample work
+  (ref: publish/publisher.cpp:234-306) — DC correction, IQ quantization to
+  the int4/int8/int16 wire dtypes, PCM conversion.
 
-The library is built on demand with g++ if the shared object is missing;
-everything degrades gracefully to the pure-JAX implementations.
+Libraries are built on demand with g++ if the shared object is missing;
+everything degrades gracefully to the pure-numpy/JAX implementations.
 """
 
 from __future__ import annotations
@@ -20,40 +23,128 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_DIR, "libaeroviterbi.so")
-_lib = None
-_tried = False
+_libs = {}
+
+
+def _build_and_load(name: str, src_base: str, extra_flags=()):
+    if name in _libs:
+        return _libs[name]
+    so = os.path.join(_DIR, name)
+    if not os.path.exists(so):
+        src = os.path.join(_DIR, src_base)
+        try:
+            subprocess.run(["g++", "-O3", *extra_flags, "-shared", "-fPIC",
+                            "-o", so, src],
+                           check=True, capture_output=True, timeout=120)
+        except (OSError, subprocess.SubprocessError):
+            _libs[name] = None
+            return None
+    try:
+        _libs[name] = ctypes.CDLL(so)
+    except OSError:
+        _libs[name] = None
+    return _libs[name]
 
 
 def _load():
-    global _lib, _tried
-    if _tried:
-        return _lib
-    _tried = True
-    if not os.path.exists(_SO):
-        src = os.path.join(_DIR, "viterbi.cc")
-        try:
-            subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", _SO, src],
-                           check=True, capture_output=True, timeout=120)
-        except (OSError, subprocess.SubprocessError):
-            return None
-    try:
-        _lib = ctypes.CDLL(_SO)
-        _lib.aero_viterbi_decode_soft.restype = ctypes.c_int
-        _lib.aero_viterbi_decode_soft.argtypes = [
+    lib = _build_and_load("libaeroviterbi.so", "viterbi.cc")
+    if lib is not None and not hasattr(lib, "_sigs_set"):
+        lib.aero_viterbi_decode_soft.restype = ctypes.c_int
+        lib.aero_viterbi_decode_soft.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8)]
-        _lib.aero_viterbi_decode_soft_batch.restype = ctypes.c_int
-        _lib.aero_viterbi_decode_soft_batch.argtypes = [
+        lib.aero_viterbi_decode_soft_batch.restype = ctypes.c_int
+        lib.aero_viterbi_decode_soft_batch.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8)]
-    except OSError:
-        _lib = None
-    return _lib
+        lib._sigs_set = True
+    return lib
+
+
+def _load_ingest():
+    lib = _build_and_load("libaeroingest.so", "ingest.cc",
+                          extra_flags=("-march=native", "-funroll-loops"))
+    if lib is not None and not hasattr(lib, "_sigs_set"):
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.aero_dc_correct.argtypes = [f32p, ctypes.c_long, ctypes.c_float,
+                                        f32p]
+        lib.aero_quantize_int4.argtypes = [f32p, ctypes.c_long,
+                                           ctypes.c_float,
+                                           ctypes.POINTER(ctypes.c_uint8)]
+        lib.aero_quantize_int8.argtypes = [f32p, ctypes.c_long,
+                                           ctypes.c_float,
+                                           ctypes.POINTER(ctypes.c_int8)]
+        lib.aero_quantize_int16.argtypes = [f32p, ctypes.c_long,
+                                            ctypes.c_float,
+                                            ctypes.POINTER(ctypes.c_int16)]
+        lib.aero_pcm16_to_f32.argtypes = [ctypes.POINTER(ctypes.c_int16),
+                                          ctypes.c_long, f32p]
+        lib._sigs_set = True
+    return lib
 
 
 def have_native() -> bool:
     return _load() is not None
+
+
+def have_native_ingest() -> bool:
+    return _load_ingest() is not None
+
+
+def _as_f32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def dc_correct_native(iq: np.ndarray, alpha: float,
+                      state: np.ndarray) -> np.ndarray:
+    """In-place one-pole DC correction of complex64 [n]; ``state`` is a
+    float32 [2] carry, updated in place.  Returns ``iq``."""
+    lib = _load_ingest()
+    assert iq.dtype == np.complex64 and iq.flags.c_contiguous
+    assert state.dtype == np.float32 and state.size == 2
+    lib.aero_dc_correct(_as_f32p(iq.view(np.float32)), iq.size,
+                        ctypes.c_float(alpha), _as_f32p(state))
+    return iq
+
+
+def quantize_native(iq: np.ndarray, dtype: str) -> np.ndarray:
+    """complex64 [n] -> packed uint8 [n] ("int4") or planar [2, n]
+    ("int8"/"int16").  Bit-exact with the numpy paths in FusedStation."""
+    lib = _load_ingest()
+    if lib is None:
+        raise RuntimeError("native ingest unavailable")
+    iq = np.ascontiguousarray(iq, np.complex64)
+    p = _as_f32p(iq.view(np.float32))
+    n = iq.size
+    if dtype == "int4":
+        out = np.empty(n, np.uint8)
+        lib.aero_quantize_int4(p, n, ctypes.c_float(7.0),
+                               out.ctypes.data_as(
+                                   ctypes.POINTER(ctypes.c_uint8)))
+    elif dtype == "int8":
+        out = np.empty((2, n), np.int8)
+        lib.aero_quantize_int8(p, n, ctypes.c_float(127.0),
+                               out.ctypes.data_as(
+                                   ctypes.POINTER(ctypes.c_int8)))
+    elif dtype == "int16":
+        out = np.empty((2, n), np.int16)
+        lib.aero_quantize_int16(p, n, ctypes.c_float(32767.0),
+                                out.ctypes.data_as(
+                                    ctypes.POINTER(ctypes.c_int16)))
+    else:
+        raise ValueError(dtype)
+    return out
+
+
+def pcm16_to_f32_native(pcm: np.ndarray) -> np.ndarray:
+    lib = _load_ingest()
+    if lib is None:
+        raise RuntimeError("native ingest unavailable")
+    pcm = np.ascontiguousarray(pcm, "<i2")
+    out = np.empty(pcm.size, np.float32)
+    lib.aero_pcm16_to_f32(pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                          pcm.size, _as_f32p(out))
+    return out
 
 
 def viterbi_decode_soft_native(soft) -> np.ndarray:

@@ -242,6 +242,12 @@ class FusedStation:
     def quantize(self, iq: np.ndarray) -> np.ndarray:
         """complex64 [T] -> ingest array of the configured dtype:
         [2, T] for int8/int16/float32, packed [T] uint8 for int4."""
+        if self.ingest_dtype != "float32":
+            from aero_tpu import native
+            if native.have_native_ingest():
+                return native.quantize_native(
+                    np.ascontiguousarray(iq, np.complex64),
+                    self.ingest_dtype)
         lim = self._iscale
         if self.ingest_dtype == "int4":
             re = np.clip(np.round(iq.real * lim), -8, 7).astype(np.int64)
