@@ -71,6 +71,9 @@ def _load_ingest():
         lib.aero_quantize_int4.argtypes = [f32p, ctypes.c_long,
                                            ctypes.c_float,
                                            ctypes.POINTER(ctypes.c_uint8)]
+        lib.aero_quantize_int2.argtypes = [f32p, ctypes.c_long,
+                                           ctypes.c_float,
+                                           ctypes.POINTER(ctypes.c_uint8)]
         lib.aero_quantize_int8.argtypes = [f32p, ctypes.c_long,
                                            ctypes.c_float,
                                            ctypes.POINTER(ctypes.c_int8)]
@@ -121,6 +124,15 @@ def quantize_native(iq: np.ndarray, dtype: str) -> np.ndarray:
         lib.aero_quantize_int4(p, n, ctypes.c_float(7.0),
                                out.ctypes.data_as(
                                    ctypes.POINTER(ctypes.c_uint8)))
+    elif dtype == "int2":
+        assert n % 2 == 0
+        arms = iq.view(np.float32)
+        sigma = float(np.sqrt(np.mean(arms * arms))) or 1.0
+        out = np.empty(n // 2, np.uint8)
+        lib.aero_quantize_int2(p, n, ctypes.c_float(sigma),
+                               out.ctypes.data_as(
+                                   ctypes.POINTER(ctypes.c_uint8)))
+        return out, np.float32(sigma)
     elif dtype == "int8":
         out = np.empty((2, n), np.int8)
         lib.aero_quantize_int8(p, n, ctypes.c_float(127.0),

@@ -52,6 +52,25 @@ void aero_quantize_int4(const float *iq, long n, float scale,
   }
 }
 
+// Interleaved complex float32 -> 2-bit sign-magnitude codes, two complex
+// samples per byte: [s0.re s0.im s1.re s1.im] from the MSB.  Per arm:
+// bit1 = sign (1 = non-negative), bit0 = |x| >= sigma (the classic 2-bit
+// radio quantizer: levels {-3,-1,+1,+3} * 0.47 sigma, ~0.55 dB SNR cost
+// for Gaussian input).  sigma is the per-arm RMS measured on the host and
+// shipped alongside the block.  n samples (even) -> n/2 bytes.
+void aero_quantize_int2(const float *iq, long n, float sigma,
+                        unsigned char *out) {
+  for (long i = 0; i < n / 2; i++) {
+    unsigned b = 0;
+    for (int k = 0; k < 4; k++) {
+      float v = iq[4 * i + k];
+      unsigned code = ((v >= 0.0f) ? 2u : 0u) | ((fabsf(v) >= sigma) ? 1u : 0u);
+      b = (b << 2) | code;
+    }
+    out[i] = (unsigned char)b;
+  }
+}
+
 // Interleaved complex float32 -> planar int8 [2][n] (re plane then im
 // plane), truncation toward zero after clipping (numpy .astype semantics).
 void aero_quantize_int8(const float *iq, long n, float scale,

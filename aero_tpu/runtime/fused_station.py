@@ -6,20 +6,34 @@ the reference's process-per-VFO wire (SURVEY.md §2.5).  For production
 serving the right shape is this one: per wideband block, a single jitted
 step does
 
-    quantized IQ [2, T] int8/int16/float32
+    quantized IQ (int2/int4/int8/int16/float32)
       -> dequantize -> complex wideband
       -> one WOLA polyphase filterbank pass per output rate (all VFOs)
       -> per-VFO residual mix -> real audio
       -> vmapped feedforward demod banks (MSK 600/1200, OQPSK 8400/10500)
-      -> soft bits [B, n] uint8 (+ lock/mse/EbN0 telemetry)
+      -> ONE packed uint8 buffer: soft bits [B, n] + telemetry
+         (lock/mse/EbN0), bitcast together
 
-and only soft bits + telemetry ever leave the device.  Host work is the
+and only that buffer ever leaves the device.  Host work is the
 frame/ACARS bookkeeping, as in the reference (off the hot path).
 
-Ingest is quantized on purpose: SDR front ends produce 8-12 real bits
-per arm (an RTL-SDR is 8), so int8/int16 IQ loses nothing while cutting
-host->device bandwidth 4x/2x vs complex64 — the binding constraint on
-tunneled or DCN-attached accelerators.
+Link-aware dispatch (the levers that matter on a DCN/tunnel-attached
+accelerator, where per-transfer fixed cost dominates):
+
+- ``blocks_per_step``: m wideband blocks upload and compute as one
+  dispatch (a lax.scan over the block axis), paying ONE fetch round trip
+  per m blocks.  Latency grows by m blocks; throughput approaches the
+  link's bulk bandwidth.
+- ``pipeline_depth``: d dispatches stay in flight before the host
+  fetches the oldest, so upload/compute of blocks N.. overlap the fetch
+  and host framing of block N-d (SURVEY.md §7 async dispatch).
+- quantized ingest: SDR front ends produce 8-12 real bits per arm, so
+  int8/int16 lose nothing; ``int4`` packs both arms into one byte per
+  sample (the reference's own IQ compress style, vfo.cpp:262-275); and
+  ``int2`` is the classic 2-bit sign-magnitude radio quantizer (levels
+  {-3,-1,+1,+3}, threshold at 1 sigma, ~0.55 dB SNR cost on Gaussian
+  input) at TWO complex samples per byte, with the per-block RMS shipped
+  alongside — 16x less ingest bandwidth than complex64.
 
 All jit boundaries are complex-free (ops/compat.py, axon tunnel rule).
 """
@@ -27,7 +41,7 @@ All jit boundaries are complex-free (ops/compat.py, axon tunnel rule).
 from __future__ import annotations
 
 import time
-from collections import defaultdict
+from collections import defaultdict, deque
 
 import numpy as np
 import jax
@@ -41,13 +55,19 @@ from aero_tpu.protocol.framing import PChannelFramer
 from aero_tpu.protocol.su_dispatch import PChannelSUDispatcher
 from aero_tpu.runtime.station import StationStats
 
+# 2-bit dequantization gain: levels {-3,-1,+1,+3} * INT2_GAIN * sigma
+# approximates the Lloyd-Max reconstruction points for Gaussian input
+# with the decision threshold at 1 sigma.
+INT2_GAIN = 0.47
+
 
 class FusedStation:
     """One-jit-call-per-block station over a uniform sub-VFO bank."""
 
     def __init__(self, cfg: ChannelizerConfig, on_acars=None,
                  station_id: str = "AERO-TPU", ingest_dtype: str = "int16",
-                 gain: float = 10.0, pipeline: bool = True):
+                 gain: float = 10.0, pipeline: bool = True,
+                 pipeline_depth: int = 2, blocks_per_step: int = 1):
         assert not cfg.mains, "FusedStation serves sub-VFO banks only"
         self.cfg = cfg
         self.fs = cfg.sample_rate
@@ -56,10 +76,10 @@ class FusedStation:
         self.stats = StationStats()
         self.ingest_dtype = ingest_dtype
         # "int4": both arms packed into ONE uint8/sample (re in the high
-        # nibble), the reference's own IQ compress style (vfo.cpp:262-275)
-        # — halves host->device bandwidth again vs int8
-        self._iscale = {"int4": 7.0, "int8": 127.0, "int16": 32767.0,
-                        "float32": 1.0}[ingest_dtype]
+        # nibble), the reference's own IQ compress style (vfo.cpp:262-275);
+        # "int2": two complex samples per byte, sign-magnitude per arm
+        self._iscale = {"int2": 1.0, "int4": 7.0, "int8": 127.0,
+                        "int16": 32767.0, "float32": 1.0}[ingest_dtype]
 
         # ---- group sub VFOs by out_rate; one PFB per group ----
         groups = defaultdict(list)
@@ -116,10 +136,10 @@ class FusedStation:
                     on_acars=self._mk_sink(t))
 
         self._gain = gain
-        # output packing: the step returns ONE uint8 soft-bit buffer and ONE
-        # float32 telemetry buffer instead of a nested per-group dict — a
-        # tunneled/DCN-attached device pays a round trip per fetched leaf,
-        # and the leaf count (4 x n_groups) was the end-to-end ceiling
+        # output packing: the step returns ONE uint8 buffer per block
+        # (soft bits for every group, then float32 telemetry bitcast to
+        # bytes) — a tunneled/DCN-attached device pays a full round trip
+        # per fetched leaf, so the leaf count per block must be exactly 1
         self._order = sorted(self.groups)
         self._soft_ofs = {}
         self._tel_ofs = {}
@@ -133,13 +153,17 @@ class FusedStation:
             soft_pos += nb * n_soft
             self._tel_ofs[out_rate] = tel_pos
             tel_pos += 3 * nb
+        self._soft_total = soft_pos
         self._state = jax.jit(self._init_state)()
-        self._step = jax.jit(self._make_step())
-        # double-buffered dispatch (SURVEY.md §7: async dispatch +
-        # double-buffered ingest): hold one in-flight step and do host
-        # framing of block N while block N+1 uploads/computes
-        self._pipeline = pipeline
-        self._inflight = None
+        self._one = self._make_step()
+        self._steps = {}                    # m -> jitted multi-block step
+        # in-flight dispatch window (SURVEY.md §7: async dispatch +
+        # double-buffered ingest): host framing of older blocks overlaps
+        # upload/compute of newer ones
+        self.pipeline_depth = pipeline_depth if pipeline else 0
+        self.blocks_per_step = max(1, int(blocks_per_step))
+        self._inflight = deque()
+        self._pending = []                  # quantized blocks awaiting dispatch
 
     def _mk_sink(self, topic):
         def sink(item):
@@ -165,27 +189,35 @@ class FusedStation:
             }
         return st
 
+    def _dequantize(self, iq2, scale):
+        """One quantized block + its scale -> complex wideband [T]."""
+        if self.ingest_dtype == "int2":
+            # [T/2] uint8, 4 codes/byte: s0.re s0.im s1.re s1.im from MSB;
+            # per code: bit1 = sign, bit0 = |x| >= sigma
+            c = (iq2[:, None] >> jnp.asarray([6, 4, 2, 0], jnp.uint8)) & 3
+            c = c.astype(jnp.int32)
+            lvl = ((c >> 1) * 2 - 1) * (1 + 2 * (c & 1))
+            v = lvl.astype(jnp.float32).reshape(-1, 2) * (INT2_GAIN * scale)
+            return v[:, 0] + 1j * v[:, 1]
+        if self.ingest_dtype == "int4":
+            # [T] uint8, re<<4 | im (two's-complement nibbles)
+            hi = (iq2 >> 4).astype(jnp.int32)
+            lo = (iq2 & 0xF).astype(jnp.int32)
+            re = jnp.where(hi > 7, hi - 16, hi).astype(jnp.float32)
+            im = jnp.where(lo > 7, lo - 16, lo).astype(jnp.float32)
+            return (re + 1j * im) / self._iscale
+        return (iq2[0].astype(jnp.float32)
+                + 1j * iq2[1].astype(jnp.float32)) / self._iscale
+
     def _make_step(self):
-        iscale = self._iscale
         gain = self._gain
         groups = {k: tuple(v) for k, v in self.groups.items()}
         params = self._params
         group_cfg = self._group_cfg
         Ks = self._K
 
-        int4 = self.ingest_dtype == "int4"
-
-        def step(state, iq2):
-            if int4:
-                # [T] uint8, re<<4 | im (two's-complement nibbles)
-                hi = (iq2 >> 4).astype(jnp.int32)
-                lo = (iq2 & 0xF).astype(jnp.int32)
-                re = jnp.where(hi > 7, hi - 16, hi).astype(jnp.float32)
-                im = jnp.where(lo > 7, lo - 16, lo).astype(jnp.float32)
-                x = (re + 1j * im) / iscale
-            else:
-                x = (iq2[0].astype(jnp.float32)
-                     + 1j * iq2[1].astype(jnp.float32)) / iscale
+        def step(state, iq2, scale):
+            x = self._dequantize(iq2, scale)
             new = {}
             outs = {}
             for out_rate, idxs in groups.items():
@@ -224,8 +256,8 @@ class FusedStation:
                     "demod": dst,
                 }
                 outs[out_rate] = out
-            # pack everything the host needs into two flat buffers (one
-            # fetch each) — leaf-per-leaf fetches pay a tunnel round trip
+            # pack everything the host needs into ONE flat uint8 buffer
+            # (single fetch): soft bits, then telemetry bitcast to bytes
             soft = jnp.concatenate(
                 [outs[r]["soft_bits"].reshape(-1) for r in self._order])
             telem = jnp.concatenate([
@@ -233,15 +265,37 @@ class FusedStation:
                            outs[r]["mse"].astype(jnp.float32),
                            outs[r]["ebno"].astype(jnp.float32)]).reshape(-1)
                 for r in self._order])
-            return new, soft, telem
+            tb = jax.lax.bitcast_convert_type(telem, jnp.uint8).reshape(-1)
+            return new, jnp.concatenate([soft.astype(jnp.uint8), tb])
 
         return step
 
+    def _get_step(self, m: int):
+        """Jitted step over m stacked blocks (lax.scan over the block axis:
+        the chain compiles once regardless of m)."""
+        if m not in self._steps:
+            one = self._one
+            if m == 1:
+                def step1(state, iqs, scales):
+                    new, packed = one(state, iqs[0], scales[0])
+                    return new, packed[None]
+                self._steps[m] = jax.jit(step1)
+            else:
+                def stepm(state, iqs, scales):
+                    def body(st, xs):
+                        iq, sc = xs
+                        st, packed = one(st, iq, sc)
+                        return st, packed
+                    return jax.lax.scan(body, state, (iqs, scales))
+                self._steps[m] = jax.jit(stepm)
+        return self._steps[m]
+
     # ---- host driver ----
 
-    def quantize(self, iq: np.ndarray) -> np.ndarray:
+    def quantize(self, iq: np.ndarray):
         """complex64 [T] -> ingest array of the configured dtype:
-        [2, T] for int8/int16/float32, packed [T] uint8 for int4."""
+        [2, T] for int8/int16/float32, packed [T] uint8 for int4,
+        (packed [T/2] uint8, sigma) for int2."""
         if self.ingest_dtype != "float32":
             from aero_tpu import native
             if native.have_native_ingest():
@@ -249,6 +303,15 @@ class FusedStation:
                     np.ascontiguousarray(iq, np.complex64),
                     self.ingest_dtype)
         lim = self._iscale
+        if self.ingest_dtype == "int2":
+            arms = np.stack([iq.real, iq.imag], axis=-1).astype(np.float32)
+            sigma = float(np.sqrt(np.mean(arms * arms))) or 1.0
+            code = (((arms >= 0).astype(np.uint8) << 1)
+                    | (np.abs(arms) >= sigma).astype(np.uint8))
+            q = code.reshape(-1, 4)
+            packed = ((q[:, 0] << 6) | (q[:, 1] << 4) | (q[:, 2] << 2)
+                      | q[:, 3]).astype(np.uint8)
+            return packed, np.float32(sigma)
         if self.ingest_dtype == "int4":
             re = np.clip(np.round(iq.real * lim), -8, 7).astype(np.int64)
             im = np.clip(np.round(iq.imag * lim), -8, 7).astype(np.int64)
@@ -258,52 +321,89 @@ class FusedStation:
             return pair.astype(np.float32)
         return np.clip(pair * lim, -lim, lim).astype(self.ingest_dtype)
 
-    def process(self, iq_or_quantized: np.ndarray):
-        """Feed one wideband block (block_len samples): complex64 [T] or
-        pre-quantized [2, T] in the configured ingest dtype."""
+    def _want_shape(self):
+        if self.ingest_dtype == "int2":
+            return (self.block_len // 2,)
+        if self.ingest_dtype == "int4":
+            return (self.block_len,)
+        return (2, self.block_len)
+
+    def process(self, iq_or_quantized):
+        """Feed one wideband block (block_len samples): complex64 [T],
+        a pre-quantized array, or a ``quantize()`` result."""
         t0 = time.perf_counter()
-        arr = np.asarray(iq_or_quantized)
+        scale = np.float32(1.0)
+        arr = iq_or_quantized
+        if isinstance(arr, tuple):
+            arr, scale = arr
+        arr = np.asarray(arr)
         if np.iscomplexobj(arr):
-            arr = self.quantize(arr.astype(np.complex64))
-        want = ((self.block_len,) if self.ingest_dtype == "int4"
-                else (2, self.block_len))
-        assert arr.shape == want, (arr.shape, want)
-        self._state, soft, telem = self._step(self._state, jnp.asarray(arr))
-        if self._pipeline:
-            prev, self._inflight = self._inflight, (soft, telem)
-            if prev is None:
-                self.stats.wideband_samples += self.block_len
-                self.stats.wall_seconds += time.perf_counter() - t0
-                return
-            soft, telem = prev
-        self._drain(soft, telem)
+            q = self.quantize(arr.astype(np.complex64))
+            arr, scale = q if isinstance(q, tuple) else (q, scale)
+        assert arr.shape == self._want_shape(), \
+            (arr.shape, self._want_shape())
+        self._pending.append((arr, scale))
+        if len(self._pending) >= self.blocks_per_step:
+            self._dispatch()
+        while len(self._inflight) > self.pipeline_depth:
+            self._drain(self._inflight.popleft())
         self.stats.wideband_samples += self.block_len
         self.stats.wall_seconds += time.perf_counter() - t0
 
-    def flush(self):
-        """Drain the in-flight block (call at end of stream)."""
-        if self._inflight is not None:
-            (soft, telem), self._inflight = self._inflight, None
-            self._drain(soft, telem)
+    def _dispatch(self):
+        m = len(self._pending)
+        iqs = np.stack([a for a, _ in self._pending])
+        scales = np.asarray([s for _, s in self._pending], np.float32)
+        self._pending = []
+        self._state, packed = self._get_step(m)(
+            self._state, jnp.asarray(iqs), jnp.asarray(scales))
+        self._inflight.append(packed)
 
-    def _drain(self, soft, telem):
-        soft = np.asarray(soft)
-        self.telemetry = np.asarray(telem)
-        for out_rate in self._order:
-            pos, n_soft = self._soft_ofs[out_rate]
-            nb = len(self.groups[out_rate])
-            rows = soft[pos: pos + nb * n_soft].reshape(nb, n_soft)
-            for row, topic in enumerate(self.topics[out_rate]):
-                for ev in self.framers[topic].feed(
-                        rows[row].astype(np.float32)):
-                    self.stats.frames += 1
-                    for k, ok in enumerate(ev.su_crc_ok):
-                        if ok:
-                            self.stats.su_ok += 1
-                            self.dispatchers[topic].dispatch(
-                                ev.infofield[k * 12:(k + 1) * 12])
-                        else:
-                            self.stats.su_bad += 1
+    def flush(self):
+        """Drain pending and in-flight blocks (call at end of stream)."""
+        t0 = time.perf_counter()
+        if self._pending:
+            self._dispatch()
+        while self._inflight:
+            self._drain(self._inflight.popleft())
+        self.stats.wall_seconds += time.perf_counter() - t0
+
+    def _drain(self, packed):
+        rows = np.asarray(packed)
+        for row in rows:
+            soft = row[: self._soft_total]
+            self.telemetry = row[self._soft_total:].view(np.float32)
+            for out_rate in self._order:
+                pos, n_soft = self._soft_ofs[out_rate]
+                nb = len(self.groups[out_rate])
+                sb = soft[pos: pos + nb * n_soft].reshape(nb, n_soft)
+                for r, topic in enumerate(self.topics[out_rate]):
+                    for ev in self.framers[topic].feed(
+                            sb[r].astype(np.float32)):
+                        self.stats.frames += 1
+                        for k, ok in enumerate(ev.su_crc_ok):
+                            if ok:
+                                self.stats.su_ok += 1
+                                self.dispatchers[topic].dispatch(
+                                    ev.infofield[k * 12:(k + 1) * 12])
+                            else:
+                                self.stats.su_bad += 1
+
+    # ---- checkpoint/resume (runtime/checkpoint.py) ----
+
+    def save_checkpoint(self, path: str):
+        """Write the full station state (device pytree, deframer locks and
+        trellis history, reassembly buffers, stats) to one .npz; drains
+        pending/in-flight blocks first."""
+        from aero_tpu.runtime.checkpoint import save_station_checkpoint
+        save_station_checkpoint(self, path)
+
+    def load_checkpoint(self, path: str):
+        """Resume from ``save_checkpoint`` output; the station must have
+        the same VFO configuration (checked).  Processing continues
+        bit-identically with the saved run (tests/test_checkpoint.py)."""
+        from aero_tpu.runtime.checkpoint import load_station_checkpoint
+        load_station_checkpoint(self, path)
 
     def vfo_telemetry(self):
         """Last drained block's per-VFO (signal, mse, ebno) by topic."""

@@ -244,11 +244,12 @@ def bench_burst_window(B=64, n_iter=20):
     return _best_rate(batch, n_iter * B * cfg.window_len) / 1e6
 
 
-def bench_fused_station(B=50, n_iter=6):
+def bench_fused_station(B=50, n_iter=16, ingest="int4", blocks_per_step=8):
     """END-TO-END: quantized ingest -> device chain -> host framers,
     via the production FusedStation (runtime/fused_station.py).  Reported
-    as x real time; on this environment the host->device tunnel
-    bandwidth, not compute, is the ceiling."""
+    as x real time; on this environment the host->device tunnel, not
+    compute, is the ceiling — so the station runs in throughput mode
+    (multi-block dispatch, one fetch round trip per 8 blocks)."""
     from aero_tpu.channelizer import load_ini
     from aero_tpu.runtime.fused_station import FusedStation
     vfos = "".join(
@@ -257,13 +258,12 @@ def bench_fused_station(B=50, n_iter=6):
     ini = (f"[General]\nsample_rate=1536000\ncenter_frequency=1545000000\n"
            f"[vfos]\nsize={B}\n{vfos}")
     cfg = load_ini(ini, is_text=True)
-    # packed-nibble ingest (1 byte/sample, the reference's own IQ compress
-    # style): host->device bandwidth is the binding constraint here
-    st = FusedStation(cfg, ingest_dtype="int4")
+    st = FusedStation(cfg, ingest_dtype=ingest,
+                      blocks_per_step=blocks_per_step)
     rng = np.random.default_rng(0)
     blk = st.quantize((0.02 * (rng.standard_normal((st.block_len, 2))
                                @ [1, 1j])).astype(np.complex64))
-    for _ in range(2):
+    for _ in range(2 * blocks_per_step):
         st.process(blk)
     st.flush()
     best = 0.0
@@ -367,6 +367,10 @@ def main():
             print(f"fused_station: {rtf:.1f}x real time END TO END "
                   f"({B2} VFOs, int4 ingest, incl. host framing + tunnel "
                   f"transfers)", file=sys.stderr)
+            rtf2, _ = bench_fused_station(ingest="int2")
+            print(f"fused_station_int2: {rtf2:.1f}x real time END TO END "
+                  f"(2-bit sign-magnitude ingest, 0.5 B/sample on the "
+                  f"tunnel)", file=sys.stderr)
         except Exception as e:                     # noqa: BLE001
             print(f"fused_station failed: {e}", file=sys.stderr)
 

@@ -1,0 +1,104 @@
+"""Checkpoint/resume (runtime/checkpoint.py): a stream split at a block
+boundary across a save/load must decode identically to the uninterrupted
+run — device carries, deframer locks, trellis history and reassembly
+buffers all survive the restart.  (The reference has no checkpointing at
+all, SURVEY.md §5.)"""
+
+import numpy as np
+import pytest
+
+from aero_tpu.channelizer import load_ini
+from aero_tpu.runtime.fused_station import FusedStation
+
+
+B = 3
+VFOS = "".join(
+    f"{i+1}\\frequency={1545002000 + i*19000}\n{i+1}\\data_rate=1200\n"
+    f"{i+1}\\topic=V{i}\n{i+1}\\gain=100\n" for i in range(B))
+INI = (f"[General]\nsample_rate=1536000\ncenter_frequency=1545000000\n"
+       f"[vfos]\nsize={B}\n" + VFOS)
+
+
+def _wideband():
+    """A two-message MSK 1200 P-channel signal on V1's frequency."""
+    from scipy.signal import firwin, lfilter
+    from aero_tpu.models.msk import msk_modulate
+    from aero_tpu.protocol.framing import build_p_frames
+    from aero_tpu.protocol.crc import append_crc16_bytes
+    from aero_tpu.protocol.isu import make_acars_userdata, segment_isu
+
+    fields = []
+    for text in ("BEFORE RESTART", "AFTER RESTART"):
+        ud = make_acars_userdata("2", "VH-CKP", "!", "AA", "M", text)
+        sus = [append_crc16_bytes(b) for b in segment_isu(ud, 0x654321, 0x41)]
+        fill = append_crc16_bytes(bytes([0x01] + [0] * 9))
+        while len(sus) % 6:
+            sus.append(fill)
+        fields += [b"".join(sus[i:i + 6]) for i in range(0, len(sus), 6)]
+    bits = build_p_frames(fields, 1200, lead_frames=6)
+    audio = np.asarray(msk_modulate(bits, 24000, 1200, freq=1000.0))
+    up = np.zeros(len(audio) * 64, np.float32)
+    up[::64] = audio * 64
+    bb = lfilter(firwin(511, 1.0 / 64), 1.0, up).astype(np.float32)
+    delta = (1545002000 + 1 * 19000) - 1545000000
+    t = np.arange(len(bb)) / 1536000.0
+    return (bb * np.exp(2j * np.pi * delta * t)).astype(np.complex64)
+
+
+def test_checkpoint_resume_bit_identical(tmp_path):
+    cfg = load_ini(INI, is_text=True)
+    wide = _wideband()
+
+    # uninterrupted reference run
+    msgs_ref = []
+    st = FusedStation(cfg, on_acars=lambda v, it: msgs_ref.append(
+        (v, it.message)))
+    w = np.concatenate([wide, np.zeros(2 * st.block_len, np.complex64)])
+    n = (len(w) // st.block_len) * st.block_len
+    blocks = [w[i:i + st.block_len] for i in range(0, n, st.block_len)]
+    for b in blocks:
+        st.process(b)
+    st.flush()
+    assert ("V1", "BEFORE RESTART") in msgs_ref
+    assert ("V1", "AFTER RESTART") in msgs_ref
+
+    # split run: checkpoint mid-stream (after the first message decodes,
+    # while the deframer is locked mid-frame), restore into a NEW station
+    split = len(blocks) // 2
+    msgs_a = []
+    st_a = FusedStation(cfg, on_acars=lambda v, it: msgs_a.append(
+        (v, it.message)))
+    for b in blocks[:split]:
+        st_a.process(b)
+    ckpt = str(tmp_path / "station.ckpt.npz")
+    st_a.save_checkpoint(ckpt)
+
+    msgs_b = []
+    st_b = FusedStation(cfg, on_acars=lambda v, it: msgs_b.append(
+        (v, it.message)))
+    st_b.load_checkpoint(ckpt)
+    assert st_b.stats.su_ok == st_a.stats.su_ok
+    for b in blocks[split:]:
+        st_b.process(b)
+    st_b.flush()
+
+    assert msgs_a + msgs_b == msgs_ref
+    assert st_b.stats.su_ok == st.stats.su_ok
+    assert st_b.stats.frames == st.stats.frames
+
+
+def test_checkpoint_rejects_wrong_config(tmp_path):
+    cfg = load_ini(INI, is_text=True)
+    st = FusedStation(cfg)
+    ckpt = str(tmp_path / "c.npz")
+    st.save_checkpoint(ckpt)
+
+    other_vfos = "".join(
+        f"{i+1}\\frequency={1545002000 + i*19000}\n{i+1}\\data_rate=1200\n"
+        f"{i+1}\\topic=W{i}\n{i+1}\\gain=100\n" for i in range(2))
+    other = load_ini(
+        f"[General]\nsample_rate=1536000\ncenter_frequency=1545000000\n"
+        f"[vfos]\nsize=2\n{other_vfos}", is_text=True)
+    st2 = FusedStation(other)
+    with pytest.raises(ValueError):
+        st2.load_checkpoint(ckpt)

@@ -27,6 +27,21 @@ def test_quantize_int4_matches_numpy():
     np.testing.assert_array_equal(got, want)
 
 
+def test_quantize_int2_matches_numpy():
+    iq = _iq(n=100000)
+    got, sigma = native.quantize_native(iq, "int2")
+    arms = np.stack([iq.real, iq.imag], axis=-1).astype(np.float32)
+    want_sigma = np.float32(np.sqrt(np.mean(arms * arms)))
+    assert abs(sigma - want_sigma) < 1e-6
+    code = (((arms >= 0).astype(np.uint8) << 1)
+            | (np.abs(arms) >= want_sigma).astype(np.uint8))
+    q = code.reshape(-1, 4)
+    want = ((q[:, 0] << 6) | (q[:, 1] << 4) | (q[:, 2] << 2)
+            | q[:, 3]).astype(np.uint8)
+    assert got.shape == (iq.size // 2,)
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize("dtype,lim", [("int8", 127.0), ("int16", 32767.0)])
 def test_quantize_planar_matches_numpy(dtype, lim):
     iq = _iq(seed=4, scale=1.3)   # exercise clipping

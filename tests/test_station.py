@@ -141,11 +141,13 @@ def test_fused_station_decodes_end_to_end():
     t = np.arange(len(bb)) / 1536000.0
     wide = (bb * np.exp(2j * np.pi * delta * t)).astype(np.complex64)
 
-    # int16 pair ingest AND packed-nibble int4 ingest (the reference's own
-    # IQ compress style, vfo.cpp:262-275) must both decode end to end
-    for ingest in ("int16", "int4"):
+    # int16 pair ingest, packed-nibble int4 (the reference's own IQ
+    # compress style, vfo.cpp:262-275) and 2-bit sign-magnitude int2 must
+    # all decode end to end; int4 also runs multi-block dispatch (one
+    # lax.scan step + one fetch per 2 blocks)
+    for ingest, m in (("int16", 1), ("int4", 2), ("int2", 1)):
         msgs = []
-        st = FusedStation(cfg, ingest_dtype=ingest,
+        st = FusedStation(cfg, ingest_dtype=ingest, blocks_per_step=m,
                           on_acars=lambda v, item: msgs.append(
                               (v, item.message)))
         w = np.concatenate([wide, np.zeros(2 * st.block_len, np.complex64)])
