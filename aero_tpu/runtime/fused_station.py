@@ -67,7 +67,8 @@ class FusedStation:
     def __init__(self, cfg: ChannelizerConfig, on_acars=None,
                  station_id: str = "AERO-TPU", ingest_dtype: str = "int16",
                  gain: float = 10.0, pipeline: bool = True,
-                 pipeline_depth: int = 2, blocks_per_step: int = 1):
+                 pipeline_depth: int = 2, blocks_per_step: int = 1,
+                 base_block: int = 16000):
         assert not cfg.mains, "FusedStation serves sub-VFO banks only"
         self.cfg = cfg
         self.fs = cfg.sample_rate
@@ -91,14 +92,14 @@ class FusedStation:
 
         # block length: every group must emit a whole demod block per step.
         # T/M_k audio samples per group; T = max_k (base_block * M_k) with
-        # base 16000 gives >= 16000 audio samples everywhere.
+        # the default base 16000 giving >= 16000 audio samples everywhere.
         self._M = {}
         self._K = {}
         for out_rate in self.groups:
             K = int(round(2 * self.fs / out_rate))
             assert abs(2 * self.fs / out_rate - K) < 1e-9
             self._K[out_rate], self._M[out_rate] = K, K // 2
-        self.block_len = max(16000 * M for M in self._M.values())
+        self.block_len = max(base_block * M for M in self._M.values())
 
         from aero_tpu.models import msk as _msk
         from aero_tpu.models import oqpsk as _oq
