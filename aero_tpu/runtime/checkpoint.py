@@ -4,8 +4,9 @@ The reference has no checkpointing (SURVEY.md §5 'Checkpoint/resume:
 none'): restarting it loses lock and whatever frames were in flight, and
 it re-acquires from the air in seconds.  A TPU station serving hundreds
 of VFOs carries real state worth keeping — per-VFO PFB and demodulator
-carries on the device, deframer locks and trellis history, ISU/ACARS
-reassembly in progress — so aero-tpu makes the whole pipeline resumable:
+carries on the device, hunter scan positions, deframer locks and trellis
+history, burst-detector rings, ISU/ACARS reassembly in progress — so
+aero-tpu makes the whole pipeline resumable:
 
     st.save_checkpoint("station.ckpt.npz")     # drains in-flight work
     ...
@@ -14,10 +15,18 @@ reassembly in progress — so aero-tpu makes the whole pipeline resumable:
     st2.process(next_block)                    # continues bit-identically
 
 One .npz holds the flattened device pytree (fetched to host numpy), each
-deframer's scalar/array state, and the pickled reassembly buffers.  The
-treedef itself is NOT serialized: the loading station re-derives it from
-its own freshly-initialized state, so a checkpoint only loads into a
-station with the same VFO configuration (checked).
+deframer's scalar/array state as PLAIN npz entries, and the reassembly
+buffers.  The treedef itself is NOT serialized: the loading station
+re-derives it from its own freshly-initialized state, so a checkpoint
+only loads into a station with the same VFO configuration, gain and
+ingest dtype (all checked).
+
+Security: framer state, stats and metadata are plain numpy arrays —
+np.load runs with allow_pickle=False.  Only the reassembly buffers
+(nested dataclass lists) use pickle, and they are decoded through a
+RESTRICTED unpickler whose class allowlist is exactly the aero-tpu
+plain-data reassembly types; a checkpoint that names any other class
+fails to load instead of executing code.
 
 Resume equivalence is proven in tests/test_checkpoint.py: a stream split
 at an arbitrary block boundary across a save/load produces the same
@@ -26,35 +35,109 @@ ACARS messages as the uninterrupted run.
 
 from __future__ import annotations
 
+import importlib
+import io
 import pickle
 
 import numpy as np
 import jax
 
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 
+# the only classes a checkpoint's reassembly blobs may instantiate
+_ALLOWED_CLASSES = {
+    ("aero_tpu.protocol.isu", name)
+    for name in ("ISUItem", "RISUItem", "ISUData", "RISUData",
+                 "ACARSItem", "ACARSDefragmenter")
+}
+
+
+class _RestrictedUnpickler(pickle.Unpickler):
+    def find_class(self, module, name):
+        if (module, name) in _ALLOWED_CLASSES:
+            return getattr(importlib.import_module(module), name)
+        raise pickle.UnpicklingError(
+            f"checkpoint reassembly blob names disallowed class "
+            f"{module}.{name}")
+
+
+def _restricted_loads(blob: bytes):
+    return _RestrictedUnpickler(io.BytesIO(blob)).load()
+
+
+# ---- per-component plain-array state (framers hold numpy scalars/arrays
+#      and python ints/bools only — no pickle needed) ----
 
 def _framer_state(f) -> dict:
+    from aero_tpu.protocol.framing import PChannelFramer
+    from aero_tpu.protocol.c_framing import CChannelFramer
+    if isinstance(f, PChannelFramer):
+        return {
+            "buf": f.buf.copy(),
+            "locked": np.bool_(f.locked),
+            "frame_index": np.int64(f.frame_index),
+            "dcd_count": np.int64(f.dcd_count),
+            "dcd": np.bool_(f.dcd),
+            "arm_flip": f._arm_flip.copy(),
+            "vit_carry": f.viterbi._carry.copy(),
+        }
+    assert isinstance(f, CChannelFramer), type(f)
     return {
         "buf": f.buf.copy(),
         "locked": np.bool_(f.locked),
         "frame_index": np.int64(f.frame_index),
-        "dcd_count": np.int64(f.dcd_count),
-        "dcd": np.bool_(f.dcd),
-        "arm_flip": f._arm_flip.copy(),
+        "flip": f._flip.copy(),
+        "hex": np.frombuffer(f._hex.encode(), np.uint8).copy(),
         "vit_carry": f.viterbi._carry.copy(),
     }
 
 
 def _restore_framer(f, d: dict):
+    from aero_tpu.protocol.framing import PChannelFramer
     f.buf = np.asarray(d["buf"], np.float32)
     f.locked = bool(d["locked"])
     f.frame_index = int(d["frame_index"])
-    f.dcd_count = int(d["dcd_count"])
-    f.dcd = bool(d["dcd"])
-    f._arm_flip = np.asarray(d["arm_flip"], bool)
     f.viterbi._carry = np.asarray(d["vit_carry"], np.float32)
+    if isinstance(f, PChannelFramer):
+        f.dcd_count = int(d["dcd_count"])
+        f.dcd = bool(d["dcd"])
+        f._arm_flip = np.asarray(d["arm_flip"], bool)
+    else:
+        f._flip = np.asarray(d["flip"], np.int32)
+        f._hex = bytes(np.asarray(d["hex"], np.uint8)).decode()
+
+
+def _rt_framer_state(f) -> dict:
+    return {
+        "collect": f._collect.copy(),
+        "synced": np.bool_(f._synced),
+        "done": np.bool_(f._done),
+        "target_su": np.int64(f._target_su),
+        "target_rows": np.int64(f._target_rows),
+        "flip_pattern": f._flip_pattern.copy(),
+        "tried": np.asarray(sorted(f._tried), np.int64),
+    }
+
+
+def _restore_rt_framer(f, d: dict):
+    f._collect = np.asarray(d["collect"], np.float32)
+    f._synced = bool(d["synced"])
+    f._done = bool(d["done"])
+    f._target_su = int(d["target_su"])
+    f._target_rows = int(d["target_rows"])
+    f._flip_pattern = np.asarray(d["flip_pattern"], np.int32)
+    f._tried = set(int(x) for x in d["tried"])
+
+
+def _burst_demod_state(b) -> dict:
+    return {"ring": b._ring.copy(),
+            "noise_floor": np.float64(b._noise_floor)}
+
+
+def _restore_burst_demod(b, d: dict):
+    b._ring = np.asarray(d["ring"], np.float32)
+    b._noise_floor = float(d["noise_floor"])
 
 
 def save_station_checkpoint(st, path: str):
@@ -62,34 +145,65 @@ def save_station_checkpoint(st, path: str):
     first so host bookkeeping is consistent with the device state."""
     st.flush()
     leaves = jax.tree_util.tree_leaves(st._state)
-    blobs = {f"dev_{i}": np.asarray(x) for i, x in enumerate(leaves)}
-    host = {
-        "version": FORMAT_VERSION,
-        "n_dev_leaves": len(leaves),
-        "topics": sorted(st.framers),
-        "framers": {t: _framer_state(st.framers[t]) for t in st.framers},
-        # reassembly buffers are plain data objects (no callbacks)
-        "reasm": {t: pickle.dumps((d.isudata, d.parser.defrag))
-                  for t, d in st.dispatchers.items()},
-        "stats": vars(st.stats).copy(),
-    }
-    np.savez_compressed(path, host=np.frombuffer(pickle.dumps(host),
-                                                 np.uint8), **blobs)
+    entries = {f"dev_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+
+    topics = sorted(set(st.framers) | set(st.rt_framers))
+    entries["meta_version"] = np.int64(FORMAT_VERSION)
+    entries["meta_topics"] = np.asarray(topics)
+    entries["meta_n_dev"] = np.int64(len(leaves))
+    entries["meta_gain"] = np.float64(st._gain)
+    entries["meta_ingest"] = np.asarray(st.ingest_dtype)
+    entries["meta_block_len"] = np.int64(st.block_len)
+
+    for j, t in enumerate(topics):
+        if t in st.framers:
+            for k, v in _framer_state(st.framers[t]).items():
+                entries[f"fr{j}_{k}"] = v
+            if t in st.dispatchers:
+                d = st.dispatchers[t]
+                entries[f"reasm{j}"] = np.frombuffer(
+                    pickle.dumps((d.isudata, d.parser.defrag)), np.uint8)
+        else:
+            for k, v in _rt_framer_state(st.rt_framers[t]).items():
+                entries[f"rt{j}_{k}"] = v
+            f = st.rt_framers[t]
+            entries[f"reasm{j}"] = np.frombuffer(
+                pickle.dumps((f.risudata, f.isudata, f.parser.defrag)),
+                np.uint8)
+            for k, v in _burst_demod_state(st.burst_demods[t]).items():
+                entries[f"bd{j}_{k}"] = v
+
+    for k, v in vars(st.stats).items():
+        entries[f"stat_{k}"] = np.asarray(v)
+    np.savez_compressed(path, **entries)
 
 
 def load_station_checkpoint(st, path: str):
     """Load a checkpoint written by ``save_station_checkpoint`` into a
-    station built with the same VFO configuration."""
+    station built with the same configuration.  Any pending/in-flight
+    blocks on the target station are drained first so pre-load soft bits
+    cannot leak into the restored framers."""
+    st.flush()
     with np.load(path, allow_pickle=False) as z:
-        host = pickle.loads(z["host"].tobytes())
-        if host["version"] != FORMAT_VERSION:
-            raise ValueError(f"checkpoint version {host['version']} != "
+        version = int(z["meta_version"])
+        if version != FORMAT_VERSION:
+            raise ValueError(f"checkpoint version {version} != "
                              f"{FORMAT_VERSION}")
-        if host["topics"] != sorted(st.framers):
+        topics = [str(t) for t in z["meta_topics"]]
+        if topics != sorted(set(st.framers) | set(st.rt_framers)):
             raise ValueError("checkpoint VFO topics do not match station "
                              "configuration")
+        for name, have in (("meta_gain", st._gain),
+                           ("meta_block_len", st.block_len)):
+            if float(z[name]) != float(have):
+                raise ValueError(f"checkpoint {name}={z[name]} != station "
+                                 f"{have}; bit-identical resume needs the "
+                                 "same configuration")
+        if str(z["meta_ingest"]) != st.ingest_dtype:
+            raise ValueError(f"checkpoint ingest_dtype {z['meta_ingest']} "
+                             f"!= station {st.ingest_dtype}")
         leaves, treedef = jax.tree_util.tree_flatten(st._state)
-        if host["n_dev_leaves"] != len(leaves):
+        if int(z["meta_n_dev"]) != len(leaves):
             raise ValueError("checkpoint device state does not match "
                              "station configuration")
         new_leaves = []
@@ -100,13 +214,33 @@ def load_station_checkpoint(st, path: str):
                                  f"{arr.shape}/{arr.dtype} != station "
                                  f"{cur.shape}/{cur.dtype}")
             new_leaves.append(arr)
-    st._state = jax.tree_util.tree_unflatten(treedef, [
-        jax.numpy.asarray(a) for a in new_leaves])
-    for t, d in host["framers"].items():
-        _restore_framer(st.framers[t], d)
-    for t, blob in host["reasm"].items():
-        isudata, defrag = pickle.loads(blob)
-        st.dispatchers[t].isudata = isudata
-        st.dispatchers[t].parser.defrag = defrag
-    for k, v in host["stats"].items():
-        setattr(st.stats, k, v)
+
+        st._state = jax.tree_util.tree_unflatten(treedef, [
+            jax.numpy.asarray(a) for a in new_leaves])
+        for j, t in enumerate(topics):
+            if t in st.framers:
+                d = {k[len(f"fr{j}_"):]: z[k] for k in z.files
+                     if k.startswith(f"fr{j}_")}
+                _restore_framer(st.framers[t], d)
+                if t in st.dispatchers and f"reasm{j}" in z.files:
+                    isudata, defrag = _restricted_loads(
+                        z[f"reasm{j}"].tobytes())
+                    st.dispatchers[t].isudata = isudata
+                    st.dispatchers[t].parser.defrag = defrag
+            else:
+                d = {k[len(f"rt{j}_"):]: z[k] for k in z.files
+                     if k.startswith(f"rt{j}_")}
+                _restore_rt_framer(st.rt_framers[t], d)
+                risudata, isudata, defrag = _restricted_loads(
+                    z[f"reasm{j}"].tobytes())
+                st.rt_framers[t].risudata = risudata
+                st.rt_framers[t].isudata = isudata
+                st.rt_framers[t].parser.defrag = defrag
+                b = {k[len(f"bd{j}_"):]: z[k] for k in z.files
+                     if k.startswith(f"bd{j}_")}
+                _restore_burst_demod(st.burst_demods[t], b)
+        for k in z.files:
+            if k.startswith("stat_"):
+                v = z[k]
+                setattr(st.stats, k[5:],
+                        float(v) if v.dtype.kind == "f" else int(v))

@@ -10,12 +10,21 @@ step does
       -> dequantize -> complex wideband
       -> one WOLA polyphase filterbank pass per output rate (all VFOs)
       -> per-VFO residual mix -> real audio
-      -> vmapped feedforward demod banks (MSK 600/1200, OQPSK 8400/10500)
-      -> ONE packed uint8 buffer: soft bits [B, n] + telemetry
-         (lock/mse/EbN0), bitcast together
+      -> continuous VFOs: vmapped feedforward demod banks
+         (MSK 600/1200 -> P channel, OQPSK 10500 -> P, OQPSK 8400 -> C)
+         + on-device per-VFO signal hunting (frequency scan while no
+         signal, the reference's SignalHunter as pure vectorized
+         arithmetic; ref decode/hunter.cpp:20-40, decode.cpp:161-226)
+      -> burst (R/T) VFOs: int16 audio emitted for the host burst
+         window demodulators (burst candidates are sparse and
+         data-dependent; SURVEY.md §7 'host-side gather/dispatch')
+      -> ONE packed uint8 buffer: soft bits / burst audio [B, n] +
+         telemetry (lock/mse/EbN0/freq), bitcast together
 
 and only that buffer ever leaves the device.  Host work is the
-frame/ACARS bookkeeping, as in the reference (off the hot path).
+frame/ACARS bookkeeping, as in the reference (off the hot path):
+P-channel framers for 600/1200/10500, C-channel framers (voice +
+signalling) for 8400, burst window demod + R/T framers for burst VFOs.
 
 Link-aware dispatch (the levers that matter on a DCN/tunnel-attached
 accelerator, where per-transfer fixed cost dominates):
@@ -50,8 +59,9 @@ import jax.numpy as jnp
 from aero_tpu.channelizer.config import ChannelizerConfig
 from aero_tpu.channelizer.pfb import (pfb_channelize, pfb_channelize_fused,
                                       pfb_bin_for_freq)
-from aero_tpu.ops.compat import tree_pack, tree_unpack
+from aero_tpu.ops.compat import tree_pack, tree_unpack, unpack_c64, pack_c64
 from aero_tpu.protocol.framing import PChannelFramer
+from aero_tpu.protocol.c_framing import CChannelFramer
 from aero_tpu.protocol.su_dispatch import PChannelSUDispatcher
 from aero_tpu.runtime.station import StationStats
 
@@ -60,42 +70,68 @@ from aero_tpu.runtime.station import StationStats
 # with the decision threshold at 1 sigma.
 INT2_GAIN = 0.47
 
+# burst VFO audio leaves the device as int16 at a fixed scale: SDR-chain
+# audio is AGC-free here but bounded by the ingest quantizer (unit-ish
+# amplitude x channel gain); 4096 LSB/unit leaves 8x headroom before
+# clipping while keeping quantization ~70 dB under a unit signal
+AUDIO_I16_SCALE = 4096.0
+
+# 256-entry int2 dequant LUT: byte -> 4 codes -> 4 Lloyd-Max levels
+# (built once in numpy; lands as a jit constant, one gather per byte
+# instead of shift/mask chains on 4x-expanded int32 intermediates)
+_c = (np.arange(256)[:, None] >> np.array([6, 4, 2, 0])) & 3
+_INT2_LUT = (((_c >> 1) * 2 - 1) * (1 + 2 * (_c & 1))).astype(np.float32)
+
 
 class FusedStation:
     """One-jit-call-per-block station over a uniform sub-VFO bank."""
 
-    def __init__(self, cfg: ChannelizerConfig, on_acars=None,
+    def __init__(self, cfg: ChannelizerConfig, on_acars=None, on_voice=None,
                  station_id: str = "AERO-TPU", ingest_dtype: str = "int16",
                  gain: float = 10.0, pipeline: bool = True,
                  pipeline_depth: int = 2, blocks_per_step: int = 1,
-                 base_block: int = 16000):
+                 base_block: int = 16000, hunt: bool = True,
+                 hunt_max_tries: int = 6):
         assert not cfg.mains, "FusedStation serves sub-VFO banks only"
         self.cfg = cfg
         self.fs = cfg.sample_rate
         self.station_id = station_id
         self.on_acars = on_acars or (lambda vfo, item: None)
+        self.on_voice = on_voice or (lambda vfo, data, hex_aes: None)
         self.stats = StationStats()
         self.ingest_dtype = ingest_dtype
+        self.hunt = hunt
+        self.hunt_max_tries = int(hunt_max_tries)
         # "int4": both arms packed into ONE uint8/sample (re in the high
         # nibble), the reference's own IQ compress style (vfo.cpp:262-275);
         # "int2": two complex samples per byte, sign-magnitude per arm
         self._iscale = {"int2": 1.0, "int4": 7.0, "int8": 127.0,
                         "int16": 32767.0, "float32": 1.0}[ingest_dtype]
 
-        # ---- group sub VFOs by out_rate; one PFB per group ----
+        # ---- group sub VFOs by (out_rate, data_rate, burst);
+        #      one PFB pass per distinct out_rate ----
         groups = defaultdict(list)
         for i, s in enumerate(cfg.subs):
-            assert s.data_rate in (600, 1200, 8400, 10500), \
-                f"unsupported data_rate {s.data_rate}"
-            groups[s.out_rate].append(i)
+            burst = bool(getattr(s, "burst", False))
+            if burst:
+                if s.data_rate not in (600, 1200, 10500):
+                    raise ValueError(
+                        f"burst VFO {s.topic!r}: data_rate {s.data_rate} not "
+                        "supported (R/T channels are 600/1200 MSK or 10500 "
+                        "OQPSK; ref decode/aerol.h:548-850)")
+            elif s.data_rate not in (600, 1200, 8400, 10500):
+                raise ValueError(
+                    f"VFO {s.topic!r}: unsupported data_rate {s.data_rate}")
+            groups[(s.out_rate, s.data_rate, burst)].append(i)
         self.groups = dict(groups)
+        self._order = sorted(self.groups)
 
         # block length: every group must emit a whole demod block per step.
         # T/M_k audio samples per group; T = max_k (base_block * M_k) with
         # the default base 16000 giving >= 16000 audio samples everywhere.
         self._M = {}
         self._K = {}
-        for out_rate in self.groups:
+        for out_rate, _, _ in self.groups:
             K = int(round(2 * self.fs / out_rate))
             assert abs(2 * self.fs / out_rate - K) < 1e-9
             self._K[out_rate], self._M[out_rate] = K, K // 2
@@ -106,19 +142,16 @@ class FusedStation:
 
         self._group_cfg = {}
         self._params = {}
+        self._hunt_cfg = {}
         self.topics = {}
         self.framers = {}
         self.dispatchers = {}
-        for out_rate, idxs in self.groups.items():
+        self.burst_demods = {}
+        self.rt_framers = {}
+        for key, idxs in self.groups.items():
+            out_rate, rate, burst = key
             K, M = self._K[out_rate], self._M[out_rate]
             F = self.block_len // M
-            rate = cfg.subs[idxs[0]].data_rate
-            assert all(cfg.subs[i].data_rate == rate for i in idxs), \
-                "one data_rate per out_rate group"
-            mod = _msk if rate in (600, 1200) else _oq
-            nfft = min(8192, 1 << (F.bit_length() - 1))
-            dcfg = mod.make_config(float(out_rate), float(rate),
-                                   block_len=F, nfft=nfft)
             bins, resid = [], []
             for i in idxs:
                 delta = cfg.subs[i].freq - cfg.center_frequency
@@ -126,34 +159,77 @@ class FusedStation:
                 kc = k if k < K // 2 else k - K
                 bins.append(k)
                 resid.append(-(delta - kc * self.fs / K) / out_rate)
-            self._group_cfg[out_rate] = (mod, dcfg)
-            self._params[out_rate] = (np.asarray(bins, np.int32),
-                                      np.asarray(resid, np.float32))
-            self.topics[out_rate] = [cfg.subs[i].topic for i in idxs]
+            self._params[key] = (np.asarray(bins, np.int32),
+                                 np.asarray(resid, np.float32))
+            self.topics[key] = [cfg.subs[i].topic for i in idxs]
+
+            if burst:
+                self._group_cfg[key] = (None, None)
+                from aero_tpu.protocol.rt_framing import RTChannelFramer
+                for i in idxs:
+                    t = cfg.subs[i].topic
+                    if rate > 1200:
+                        from aero_tpu.models.burst_oqpsk import (
+                            BurstOqpskDemodulator)
+                        self.burst_demods[t] = BurstOqpskDemodulator(
+                            float(out_rate), float(rate))
+                    else:
+                        from aero_tpu.models.burst_msk import (
+                            BurstMskDemodulator)
+                        self.burst_demods[t] = BurstMskDemodulator(
+                            float(out_rate), float(rate))
+                    self.rt_framers[t] = RTChannelFramer(
+                        oqpsk=rate > 1200, on_acars=self._mk_sink(t))
+                continue
+
+            mod = _msk if rate in (600, 1200) else _oq
+            nfft = min(8192, 1 << (F.bit_length() - 1))
+            dcfg = mod.make_config(float(out_rate), float(rate),
+                                   block_len=F, nfft=nfft)
+            self._group_cfg[key] = (mod, dcfg)
+            # hunter scan params (ref decode/decode.cpp:169,198), max freq
+            # capped below the demod's audio Nyquist minus half the symbol
+            # rate so scanned tunes stay physical
+            if rate <= 1200:
+                lo, hi, bw = 0.0, 6000.0, 900.0       # L band
+            else:
+                lo, hi, bw = 0.0, 25000.0, 10500.0    # C band
+            hi = min(hi, out_rate / 2.0 - rate / 2.0)
+            self._hunt_cfg[key] = (lo, hi, bw, dcfg.freq_center)
             for i in idxs:
                 t = cfg.subs[i].topic
-                self.framers[t] = PChannelFramer(rate)
-                self.dispatchers[t] = PChannelSUDispatcher(
-                    on_acars=self._mk_sink(t))
+                if rate == 8400:
+                    self.framers[t] = CChannelFramer(
+                        on_voice=self._mk_voice_sink(t))
+                else:
+                    self.framers[t] = PChannelFramer(rate)
+                    self.dispatchers[t] = PChannelSUDispatcher(
+                        on_acars=self._mk_sink(t))
 
         self._gain = gain
         # output packing: the step returns ONE uint8 buffer per block
-        # (soft bits for every group, then float32 telemetry bitcast to
-        # bytes) — a tunneled/DCN-attached device pays a full round trip
-        # per fetched leaf, so the leaf count per block must be exactly 1
-        self._order = sorted(self.groups)
+        # (soft bits / burst int16 audio for every group, then float32
+        # telemetry bitcast to bytes) — a tunneled/DCN-attached device pays
+        # a full round trip per fetched leaf, so the leaf count per block
+        # must be exactly 1
         self._soft_ofs = {}
         self._tel_ofs = {}
         soft_pos = tel_pos = 0
-        for out_rate in self._order:
-            _, dcfg = self._group_cfg[out_rate]
-            nb = len(self.groups[out_rate])
-            # both demod families emit block_len * fb / fs soft bits/block
-            n_soft = int(round(dcfg.block_len * dcfg.fb / dcfg.fs))
-            self._soft_ofs[out_rate] = (soft_pos, n_soft)
-            soft_pos += nb * n_soft
-            self._tel_ofs[out_rate] = tel_pos
-            tel_pos += 3 * nb
+        for key in self._order:
+            out_rate, rate, burst = key
+            nb = len(self.groups[key])
+            F = self.block_len // self._M[out_rate]
+            if burst:
+                per_vfo = 2 * F                    # int16 audio bytes
+            else:
+                _, dcfg = self._group_cfg[key]
+                # both demod families emit block_len * fb / fs soft
+                # bits/block
+                per_vfo = int(round(dcfg.block_len * dcfg.fb / dcfg.fs))
+            self._soft_ofs[key] = (soft_pos, per_vfo)
+            soft_pos += nb * per_vfo
+            self._tel_ofs[key] = tel_pos
+            tel_pos += 4 * nb                      # signal/mse/ebno/freq
         self._soft_total = soft_pos
         self._state = jax.jit(self._init_state)()
         self._one = self._make_step()
@@ -172,33 +248,45 @@ class FusedStation:
             self.on_acars(topic, item)
         return sink
 
+    def _mk_voice_sink(self, topic):
+        def sink(data, hex_aes):
+            self.stats.voice_frames += 1
+            self.on_voice(topic, data, hex_aes)
+        return sink
+
     # ---- device step ----
 
     def _init_state(self):
-        st = {}
-        for out_rate, idxs in self.groups.items():
-            mod, dcfg = self._group_cfg[out_rate]
-            K = self._K[out_rate]
+        st = {"pfb": {}, "grp": {}}
+        for out_rate, K in self._K.items():
             L = 8 * K
-            init = mod.msk_init if hasattr(mod, "msk_init") else None
-            init = init or mod.oqpsk_init
-            st[out_rate] = {
-                "pfb": jnp.zeros((2, L - K // 2), jnp.float32),
-                "phase": jnp.zeros((len(idxs),), jnp.float32),
-                "demod": jax.vmap(lambda _: tree_pack(init(dcfg)))(
-                    jnp.arange(len(idxs))),
-            }
+            st["pfb"][out_rate] = jnp.zeros((2, L - K // 2), jnp.float32)
+        for key, idxs in self.groups.items():
+            out_rate, rate, burst = key
+            nb = len(idxs)
+            g = {"phase": jnp.zeros((nb,), jnp.float32)}
+            if not burst:
+                mod, dcfg = self._group_cfg[key]
+                init = getattr(mod, "msk_init", None) or mod.oqpsk_init
+                g["demod"] = jax.vmap(lambda _: tree_pack(init(dcfg)))(
+                    jnp.arange(nb))
+                if self.hunt:
+                    _, _, _, center0 = self._hunt_cfg[key]
+                    g["hunt"] = {
+                        "tries": jnp.zeros((nb,), jnp.int32),
+                        "center": jnp.full((nb,), center0, jnp.float32),
+                    }
+            st["grp"][key] = g
         return st
 
     def _dequantize(self, iq2, scale):
         """One quantized block + its scale -> complex wideband [T]."""
         if self.ingest_dtype == "int2":
             # [T/2] uint8, 4 codes/byte: s0.re s0.im s1.re s1.im from MSB;
-            # per code: bit1 = sign, bit0 = |x| >= sigma
-            c = (iq2[:, None] >> jnp.asarray([6, 4, 2, 0], jnp.uint8)) & 3
-            c = c.astype(jnp.int32)
-            lvl = ((c >> 1) * 2 - 1) * (1 + 2 * (c & 1))
-            v = lvl.astype(jnp.float32).reshape(-1, 2) * (INT2_GAIN * scale)
+            # per code: bit1 = sign, bit0 = |x| >= sigma.  One LUT gather
+            # per byte (the shift/mask form quadrupled the int32 traffic)
+            v = jnp.asarray(_INT2_LUT)[iq2.astype(jnp.int32)]
+            v = v.reshape(-1, 2) * (INT2_GAIN * scale)
             return v[:, 0] + 1j * v[:, 1]
         if self.ingest_dtype == "int4":
             # [T] uint8, re<<4 | im (two's-complement nibbles)
@@ -210,64 +298,110 @@ class FusedStation:
         return (iq2[0].astype(jnp.float32)
                 + 1j * iq2[1].astype(jnp.float32)) / self._iscale
 
+    def _hunt_update(self, key, s2, sig, hunt):
+        """Vectorized SignalHunter (runs per VFO under vmap): count
+        consecutive no-signal blocks; every hunt_max_tries misses step the
+        audio center by bandwidth/2 across [lo, hi] with wrap, and force
+        the demodulator to re-acquire there (ref decode/hunter.cpp:20-40;
+        the reference resets demod state via CenterFreqChangedSlot)."""
+        lo, hi, bw, _ = self._hunt_cfg[key]
+        tries = jnp.where(sig, 0, hunt["tries"] + 1)
+        fire = tries >= self.hunt_max_tries
+        tries = jnp.where(fire, 0, tries)
+        center = jnp.where(fire, hunt["center"] + bw / 2.0, hunt["center"])
+        center = jnp.where(center > hi, lo + bw / 2.0, center)
+        _, dcfg = self._group_cfg[key]
+        tune = jnp.clip(center, 100.0, dcfg.fs / 2.0 - 100.0)
+        s2 = s2._replace(
+            freq=jnp.where(fire, tune, s2.freq),
+            mse=jnp.where(fire, jnp.float32(2.0), s2.mse),
+            have_lock_refs=jnp.where(fire, False, s2.have_lock_refs),
+            coarse_y=jnp.where(fire, jnp.full_like(s2.coarse_y, 20.0),
+                               s2.coarse_y))
+        return s2, {"tries": tries, "center": center}
+
     def _make_step(self):
         gain = self._gain
-        groups = {k: tuple(v) for k, v in self.groups.items()}
         params = self._params
         group_cfg = self._group_cfg
         Ks = self._K
 
         def step(state, iq2, scale):
             x = self._dequantize(iq2, scale)
-            new = {}
-            outs = {}
-            for out_rate, idxs in groups.items():
-                K = Ks[out_rate]
-                mod, dcfg = group_cfg[out_rate]
-                bins, resid = params[out_rate]
-                gst = state[out_rate]
+            new = {"pfb": {}, "grp": {}}
+            z_by_rate = {}
+            for out_rate, K in Ks.items():
                 chan = (pfb_channelize_fused
                         if (x.shape[-1] // (K // 2)) % 2 == 0
                         else pfb_channelize)
-                from aero_tpu.ops.compat import unpack_c64, pack_c64
-                pst, z = chan(unpack_c64(gst["pfb"]), x, K)
-                zb = z[jnp.asarray(bins)]
+                pst, z = chan(unpack_c64(state["pfb"][out_rate]), x, K)
+                new["pfb"][out_rate] = pack_c64(pst)
+                z_by_rate[out_rate] = z
+            outs = {}
+            for key in self._order:
+                out_rate, rate, burst = key
+                mod, dcfg = group_cfg[key]
+                bins, resid = params[key]
+                gst = state["grp"][key]
+                zb = z_by_rate[out_rate][jnp.asarray(bins)]
                 F = zb.shape[1]
                 n = jnp.arange(F, dtype=jnp.float32)
                 ramp = gst["phase"][:, None] + jnp.asarray(resid)[:, None] * n
                 osc = jnp.exp(2j * jnp.pi * jnp.mod(ramp, 1.0)
                               ).astype(jnp.complex64)
                 audio = (zb * osc).real * gain
-                step_fn = mod.msk_step if hasattr(mod, "msk_step") else None
-                step_fn = step_fn or mod.oqpsk_step
+                ng = {"phase": jnp.mod(gst["phase"]
+                                       + jnp.asarray(resid) * F, 1.0)}
+                if burst:
+                    a16 = jnp.clip(jnp.round(audio * AUDIO_I16_SCALE),
+                                   -32767, 32767).astype(jnp.int16)
+                    outs[key] = {
+                        "bytes": jax.lax.bitcast_convert_type(
+                            a16, jnp.uint8).reshape(audio.shape[0], -1),
+                        "telem": jnp.zeros((4, audio.shape[0]), jnp.float32),
+                    }
+                    new["grp"][key] = ng
+                    continue
 
-                def one(p, a):
+                step_fn = getattr(mod, "msk_step", None) or mod.oqpsk_step
+                hunting = self.hunt and "hunt" in gst
+
+                def one(p, a, h):
                     s2, out = step_fn(tree_unpack(p), a, dcfg)
-                    return tree_pack(s2), {
+                    if hunting:
+                        s2, h = self._hunt_update(key, s2, out["signal"], h)
+                    return tree_pack(s2), h, {
                         "soft_bits": out["soft_bits"],
                         "signal": out["signal"],
                         "mse": out["mse"],
                         "ebno": out["ebno"],
+                        "freq": s2.freq,
                     }
-                dst, out = jax.vmap(one)(gst["demod"], audio)
-                new[out_rate] = {
-                    "pfb": pack_c64(pst),
-                    "phase": jnp.mod(gst["phase"]
-                                     + jnp.asarray(resid) * F, 1.0),
-                    "demod": dst,
+
+                h0 = gst.get("hunt", {"tries": jnp.zeros(
+                    (audio.shape[0],), jnp.int32), "center": jnp.zeros(
+                    (audio.shape[0],), jnp.float32)})
+                dst, h1, out = jax.vmap(one)(gst["demod"], audio, h0)
+                ng["demod"] = dst
+                if "hunt" in gst:
+                    ng["hunt"] = h1
+                new["grp"][key] = ng
+                outs[key] = {
+                    "bytes": out["soft_bits"].astype(jnp.uint8),
+                    "telem": jnp.stack([out["signal"].astype(jnp.float32),
+                                        out["mse"].astype(jnp.float32),
+                                        out["ebno"].astype(jnp.float32),
+                                        out["freq"].astype(jnp.float32)]),
                 }
-                outs[out_rate] = out
             # pack everything the host needs into ONE flat uint8 buffer
-            # (single fetch): soft bits, then telemetry bitcast to bytes
+            # (single fetch): soft bits / burst audio, then telemetry
+            # bitcast to bytes
             soft = jnp.concatenate(
-                [outs[r]["soft_bits"].reshape(-1) for r in self._order])
-            telem = jnp.concatenate([
-                jnp.stack([outs[r]["signal"].astype(jnp.float32),
-                           outs[r]["mse"].astype(jnp.float32),
-                           outs[r]["ebno"].astype(jnp.float32)]).reshape(-1)
-                for r in self._order])
+                [outs[k]["bytes"].reshape(-1) for k in self._order])
+            telem = jnp.concatenate(
+                [outs[k]["telem"].reshape(-1) for k in self._order])
             tb = jax.lax.bitcast_convert_type(telem, jnp.uint8).reshape(-1)
-            return new, jnp.concatenate([soft.astype(jnp.uint8), tb])
+            return new, jnp.concatenate([soft, tb])
 
         return step
 
@@ -335,12 +469,18 @@ class FusedStation:
         t0 = time.perf_counter()
         scale = np.float32(1.0)
         arr = iq_or_quantized
-        if isinstance(arr, tuple):
+        had_scale = isinstance(arr, tuple)
+        if had_scale:
             arr, scale = arr
         arr = np.asarray(arr)
         if np.iscomplexobj(arr):
             q = self.quantize(arr.astype(np.complex64))
             arr, scale = q if isinstance(q, tuple) else (q, scale)
+        elif self.ingest_dtype == "int2" and not had_scale:
+            # a bare int2 array would silently decode at scale=1.0 with the
+            # wrong amplitude — require the (packed, sigma) quantize() tuple
+            raise ValueError("int2 ingest requires (packed, sigma) as "
+                             "returned by quantize(); got a bare array")
         assert arr.shape == self._want_shape(), \
             (arr.shape, self._want_shape())
         self._pending.append((arr, scale))
@@ -374,21 +514,40 @@ class FusedStation:
         for row in rows:
             soft = row[: self._soft_total]
             self.telemetry = row[self._soft_total:].view(np.float32)
-            for out_rate in self._order:
-                pos, n_soft = self._soft_ofs[out_rate]
-                nb = len(self.groups[out_rate])
-                sb = soft[pos: pos + nb * n_soft].reshape(nb, n_soft)
-                for r, topic in enumerate(self.topics[out_rate]):
-                    for ev in self.framers[topic].feed(
-                            sb[r].astype(np.float32)):
-                        self.stats.frames += 1
-                        for k, ok in enumerate(ev.su_crc_ok):
-                            if ok:
-                                self.stats.su_ok += 1
-                                self.dispatchers[topic].dispatch(
-                                    ev.infofield[k * 12:(k + 1) * 12])
-                            else:
-                                self.stats.su_bad += 1
+            for key in self._order:
+                out_rate, rate, burst = key
+                pos, per_vfo = self._soft_ofs[key]
+                nb = len(self.groups[key])
+                sb = soft[pos: pos + nb * per_vfo].reshape(nb, per_vfo)
+                for r, topic in enumerate(self.topics[key]):
+                    if burst:
+                        audio = (sb[r].view(np.int16).astype(np.float32)
+                                 / AUDIO_I16_SCALE)
+                        for out in self.burst_demods[topic].process(audio):
+                            if out["burst"]:
+                                for _ in self.rt_framers[topic].feed(
+                                        out["soft_bits"]):
+                                    self.stats.frames += 1
+                    elif rate == 8400:
+                        for ev in self.framers[topic].feed(
+                                sb[r].astype(np.float32)):
+                            self.stats.frames += 1
+                            for su, ok, _name in ev.signalling:
+                                if ok:
+                                    self.stats.su_ok += 1
+                                else:
+                                    self.stats.su_bad += 1
+                    else:
+                        for ev in self.framers[topic].feed(
+                                sb[r].astype(np.float32)):
+                            self.stats.frames += 1
+                            for k, ok in enumerate(ev.su_crc_ok):
+                                if ok:
+                                    self.stats.su_ok += 1
+                                    self.dispatchers[topic].dispatch(
+                                        ev.infofield[k * 12:(k + 1) * 12])
+                                else:
+                                    self.stats.su_bad += 1
 
     # ---- checkpoint/resume (runtime/checkpoint.py) ----
 
@@ -407,17 +566,21 @@ class FusedStation:
         load_station_checkpoint(self, path)
 
     def vfo_telemetry(self):
-        """Last drained block's per-VFO (signal, mse, ebno) by topic."""
+        """Last drained block's per-VFO (signal, mse, ebno, freq) by topic
+        (burst VFOs report zeros — their detection state lives in the host
+        burst demodulators)."""
         tel = getattr(self, "telemetry", None)
         if tel is None:
             return {}
         out = {}
-        for out_rate in self._order:
-            nb = len(self.groups[out_rate])
-            t = tel[self._tel_ofs[out_rate]:
-                    self._tel_ofs[out_rate] + 3 * nb].reshape(3, nb)
-            for row, topic in enumerate(self.topics[out_rate]):
+        for key in self._order:
+            nb = len(self.groups[key])
+            t = tel[self._tel_ofs[key]:
+                    self._tel_ofs[key] + 4 * nb].reshape(4, nb)
+            for row, topic in enumerate(self.topics[key]):
                 out[topic] = {"signal": bool(t[0, row] > 0.5),
                               "mse": float(t[1, row]),
-                              "ebno": float(t[2, row])}
+                              "ebno": float(t[2, row]),
+                              "freq": float(t[3, row]),
+                              "burst": key[2]}
         return out

@@ -37,6 +37,7 @@ class StationStats:
     su_ok: int = 0
     su_bad: int = 0
     acars: int = 0
+    voice_frames: int = 0
 
     @property
     def realtime_factor(self) -> float:
