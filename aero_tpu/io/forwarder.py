@@ -4,11 +4,19 @@ Behavioral equivalent of ForwardTarget (ref: decode/forwarder.cpp):
 ``FMT=URL`` spec parsing (tcp/udp only, :136-184), plain sockets with one
 reconnect-and-retry (:109-134), newline-terminated frames
 (ref: decode.cpp:408).
+
+``AsyncForwardQueue`` is the reference's forwarder thread (the condvar
+consumer of sendBuffer, ref: decode/decode.cpp:368-416): egress runs on
+its own worker so a stalled TCP sink never blocks the decode loop.  The
+queue is BOUNDED; on overflow the OLDEST item is dropped and counted
+(the reference's unbounded QList would instead grow without limit).
 """
 
 from __future__ import annotations
 
 import socket
+import threading
+from collections import deque
 from dataclasses import dataclass
 from urllib.parse import urlparse
 
@@ -79,3 +87,66 @@ class ForwardTarget:
             except OSError:
                 pass
             self.sock = None
+
+
+class AsyncForwardQueue:
+    """Bounded queue + worker thread decoupling decode from egress.
+
+    ``submit`` never blocks: if the queue is full the oldest entry is
+    dropped and ``dropped`` incremented.  The worker formats per target
+    (each target has its own FMT) and sends with the ForwardTarget
+    reconnect-retry semantics.  Ref: decode/decode.cpp:368-416.
+    """
+
+    def __init__(self, targets, maxsize: int = 512):
+        self.targets = list(targets)
+        self.maxsize = maxsize
+        self.dropped = 0
+        self.sent = 0
+        self._q: deque = deque()
+        self._cv = threading.Condition()
+        self._stop = False
+        self._idle = threading.Event()
+        self._idle.set()
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="aero-forwarder")
+        self._thread.start()
+
+    def submit(self, station_id: str, disable_reassembly: bool, item):
+        with self._cv:
+            if len(self._q) >= self.maxsize:
+                self._q.popleft()
+                self.dropped += 1
+            self._q.append((station_id, disable_reassembly, item))
+            self._idle.clear()
+            self._cv.notify()
+
+    def _run(self):
+        from aero_tpu.io.output import to_output_format
+        while True:
+            with self._cv:
+                while not self._q and not self._stop:
+                    self._idle.set()
+                    self._cv.wait()
+                if self._stop and not self._q:
+                    self._idle.set()
+                    return
+                sid, dis, item = self._q.popleft()
+            for t in self.targets:
+                t.send(to_output_format(t.spec.fmt, sid, dis, item))
+            self.sent += 1
+
+    def flush(self, timeout: float | None = 10.0) -> bool:
+        """Wait until the queue drains (or timeout).  Returns drained?"""
+        return self._idle.wait(timeout)
+
+    def close(self, timeout: float = 5.0):
+        with self._cv:
+            self._stop = True
+            self._cv.notify()
+        self._thread.join(timeout)
+        for t in self.targets:
+            t.close()
+
+    def __len__(self):
+        return len(self._q)

@@ -1,27 +1,81 @@
 """Shared host wrapper for window-based burst demodulators.
 
-Phase-1 detection (dense power envelope vs carried noise floor) runs over a
-sample ring buffer; each complete gate run becomes one fixed-size window
-passed to the modulation-specific jitted window demodulator, which returns
-per-strobe soft values + an activity mask.  The wrapper serializes them into
-the marked int16 soft stream protocol/rt_framing consumes.
+Phase-1 detection runs over a sample ring buffer with TWO dense arms:
+
+- an autocorrelation arm: normalized conj-product of the analytic signal
+  at the preamble's coherence lag, |MA(z[n] conj(z[n-L]))| / MA(|z|^2).
+  The R/T preamble is an alternating bit pattern — a tone pair spaced fb
+  (MSK) / fb/2 (OQPSK) — so at L = round(2 fs/fb) the products add
+  coherently and the statistic approaches 1 regardless of carrier offset,
+  while noise averages toward 0 (scale-free, CFAR-like).  This is the
+  reference's conj-product detection arm reformulated as a dense block
+  convolution (ref: decode/burstmskdemodulator.cpp:376-385 + PeakDetector),
+  and it keeps detecting several dB below where a raw power gate drowns.
+- a power-envelope arm (smoothed |x|^2 vs a tracked noise floor), which
+  covers bursts whose preamble is clipped or non-standard.
+
+Each detection anchors a burst-extent gate: the envelope is thresholded
+BETWEEN the tracked noise floor and the measured in-burst level
+(nf + 0.35 (P_sig - nf)), so gating adapts to the burst's own SNR instead
+of demanding env > gate_ratio * nf (which needs ~4 dB of headroom).  Each
+complete gate run becomes one fixed-size window passed to the
+modulation-specific jitted window demodulator, which returns per-strobe
+soft values + an activity mask; the wrapper serializes them into the
+marked int16 soft stream protocol/rt_framing consumes.
+
+A narrowband interferer (pure carrier) also drives the autocorrelation
+statistic high; the resulting windows demodulate to soft bits that fail
+UW/CRC in the framer, so false gates cost compute, not correctness.
 """
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("lag", "smooth"))
+def _autocorr_rho(samples, lag: int, smooth: int):
+    """Normalized analytic-signal autocorrelation magnitude at ``lag``."""
+    x = jnp.asarray(samples, jnp.float32)
+    n = x.shape[0]
+    X = jnp.fft.fft(x)
+    f = jnp.fft.fftfreq(n)
+    h = jnp.where(f > 0, 2.0, jnp.where(f == 0, 1.0, 0.0))
+    z = jnp.fft.ifft(X * h.astype(jnp.complex64))
+    zl = jnp.concatenate([jnp.zeros(lag, z.dtype), z[:-lag]])
+    prod = z * jnp.conj(zl)
+    k = (jnp.ones(smooth, jnp.float32) / smooth).astype(jnp.complex64)
+    num = jnp.abs(jnp.convolve(prod, k, mode="same"))
+    den = jnp.convolve(jnp.abs(z) ** 2, jnp.real(k), mode="same")
+    return num / jnp.maximum(den, 1e-12)
+
+
+def _bool_runs(mask: np.ndarray):
+    d = np.diff(np.concatenate([[0], mask.astype(np.int8), [0]]))
+    return list(zip(np.flatnonzero(d == 1), np.flatnonzero(d == -1)))
 
 
 class BurstWindowDemodulator:
-    def __init__(self, cfg, window_fn):
+    def __init__(self, cfg, window_fn, rho_threshold: float = 0.35):
         self.cfg = cfg
         self._window_fn = window_fn
         self._ring = np.zeros(0, np.float32)
         self._noise_floor = 0.0
+        self.rho_threshold = rho_threshold
+        self.freq_center = float(cfg.freq_center)
 
     @property
     def state(self):                   # runtime/decoder compatibility
         return None
+
+    def set_center(self, freq_center: float):
+        """Hunter retune hook (ref decode.cpp:182,211 retunes burst demods
+        too): shifts the per-window coarse-CFO search center."""
+        self.freq_center = float(max(100.0, freq_center))
 
     def _smooth_len(self) -> int:
         return 8 * getattr(self.cfg, "sps", 20)
@@ -30,6 +84,7 @@ class BurstWindowDemodulator:
         from aero_tpu.models.burst_msk import _envelope
 
         cfg = self.cfg
+        sps = getattr(cfg, "sps", 20)
         samples = np.asarray(samples, np.float32)
         self._ring = np.concatenate([self._ring, samples])
         outs = []
@@ -41,31 +96,75 @@ class BurstWindowDemodulator:
         else:
             self._noise_floor = 0.9 * self._noise_floor + 0.1 * min(
                 q25, 4 * self._noise_floor)
-        gate = env > (cfg.gate_ratio * self._noise_floor)
+        nf = self._noise_floor
+
+        # ---- candidate detections ----
+        lag = max(1, int(round(2.0 * cfg.fs / cfg.fb)))
+        rho = np.asarray(_autocorr_rho(self._ring, lag, 16 * sps))
+        det = rho > self.rho_threshold
+        min_det = 6 * sps
+        cands = [s for s, e in _bool_runs(det) if e - s >= min_det]
+        # power arm: starts of strong gate runs (legacy high-SNR path)
+        strong = env > (cfg.gate_ratio * nf)
+        cands += [s for s, e in _bool_runs(strong)
+                  if e - s >= 2 * self._smooth_len()]
+        cands.sort()
 
         pad = self._smooth_len() // 2
         W = cfg.window_len
-        d = np.diff(np.concatenate([[0], gate.astype(np.int8), [0]]))
-        starts = np.flatnonzero(d == 1)
-        ends = np.flatnonzero(d == -1)
-        runs = list(zip(starts, ends))
-        if runs and runs[-1][1] >= len(gate) - 1:
-            s, e = runs[-1]
-            if e - s < W:        # still open: wait unless it fills a window
-                runs.pop()
-
         consumed = 0
-        min_run = 2 * self._smooth_len()
-        for s, e in runs:
-            if e - s < min_run:
+        for s in cands:
+            if s < consumed:
                 continue
-            w0 = max(0, s - pad)
+            # burst extent: envelope thresholded between the noise floor
+            # and the level measured around the detection
+            around = env[s: s + 16 * sps]
+            p_sig = float(np.mean(around)) if len(around) else nf
+            thr = nf + 0.35 * max(p_sig - nf, 0.0)
+            gate = env > max(thr, 1.5 * nf)
+            runs_g = _bool_runs(gate)
+            run = next(((gs, ge) for gs, ge in runs_g if gs <= s < ge),
+                       None)
+            if run is None:
+                continue
+            gs, ge = run
+            # the burst envelope is constant (MSK/OQPSK); near threshold
+            # the gate fragments on noise dips, which truncates long (T)
+            # packets — extend the run FORWARD across gaps shorter than
+            # ~4 smoothing windows (the start stays anchored at the
+            # detection's own run, so the window never slides early)
+            max_gap = 4 * self._smooth_len()
+            for ns, ne in runs_g:
+                if ns <= gs:
+                    continue
+                if ns - ge <= max_gap:
+                    ge = max(ge, ne)
+                else:
+                    break
+            # the burst may still be streaming in: a run that ends near the
+            # ring end (within a bridgeable gap) can grow next block — wait
+            # rather than emit a truncated window
+            if len(gate) - ge <= max_gap + pad and ge - gs < W:
+                continue
+            if ge - gs < 2 * self._smooth_len():
+                continue
+            w0 = max(0, gs - pad)
             win = self._ring[w0: w0 + W]
-            gwin = gate[w0: w0 + W]
+            gwin = gate[w0: w0 + W].copy()
+            # a burst is one contiguous transmission: noise dips punch
+            # holes in the threshold gate near sensitivity, and a strobe
+            # masked mid-burst DELETES a bit from the serialized stream
+            # (fatal for the deinterleaver) — so fill the gate between its
+            # first and last on-sample inside the window
+            on = np.flatnonzero(gwin)
+            if on.size:
+                gwin[on[0]: on[-1] + 1] = True
+                ge = max(ge, min(w0 + int(on[-1]), len(gate)))
             if len(win) < W:
                 win = np.pad(win, (0, W - len(win)))
                 gwin = np.pad(gwin, (0, W - len(gwin)))
-            out = self._window_fn(win, gwin.astype(np.float32), self.cfg)
+            out = self._window_fn(win, gwin.astype(np.float32), self.cfg,
+                                  np.float32(self.freq_center))
             soft = np.asarray(out["soft"])
             active = np.asarray(out["active"])
             stream = []
@@ -80,10 +179,10 @@ class BurstWindowDemodulator:
                 "soft_bits": np.asarray(stream, np.int16),
                 "burst": True,
                 "signal": True,
-                "freq": cfg.freq_center + float(out["freq_offset"]),
+                "freq": self.freq_center + float(out["freq_offset"]),
                 "tone_quality": float(out["tone_quality"]),
             })
-            consumed = max(consumed, min(e + pad, len(self._ring)))
+            consumed = max(consumed, min(ge + pad, len(self._ring)))
 
         keep_from = max(consumed, len(self._ring) - (W + 2 * pad))
         if keep_from > 0:
@@ -92,6 +191,6 @@ class BurstWindowDemodulator:
             outs.append({
                 "soft_bits": np.zeros(0, np.int16),
                 "burst": False, "signal": False,
-                "freq": cfg.freq_center, "tone_quality": 0.0,
+                "freq": self.freq_center, "tone_quality": 0.0,
             })
         return outs

@@ -111,12 +111,16 @@ def _gated_coarse_offset(bb, gate, nfft, fb, fs, lockingbw):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def burst_msk_window(samples, gate, cfg: BurstMskConfig):
+def burst_msk_window(samples, gate, cfg: BurstMskConfig, freq_center=None):
     """Demodulate one burst window [window_len] with its sample gate.
 
+    ``freq_center`` (traced scalar) overrides cfg.freq_center so a signal
+    hunter can retune without recompiling (ref decode.cpp:182,211).
     Returns dict with soft [n_strobes, 2] float, strobe_active mask,
     freq estimate, tone quality.
     """
+    if freq_center is None:
+        freq_center = jnp.asarray(cfg.freq_center, jnp.float32)
     sps = cfg.sps
     W = cfg.window_len
     x = jnp.asarray(samples, jnp.float32)
@@ -127,7 +131,7 @@ def burst_msk_window(samples, gate, cfg: BurstMskConfig):
     gate = (jnp.convolve(gate, dil, mode="same") > 0).astype(jnp.float32)
 
     phase0 = nco_init()
-    _, bb = nco_mix(phase0, x.astype(jnp.complex64), cfg.freq_center / cfg.fs,
+    _, bb = nco_mix(phase0, x.astype(jnp.complex64), freq_center / cfg.fs,
                     conj=True)
     dfc = _gated_coarse_offset(bb, gate, cfg.nfft, cfg.fb, cfg.fs,
                                cfg.lockingbw)

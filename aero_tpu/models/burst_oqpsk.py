@@ -65,7 +65,10 @@ def make_config(fs: float, fb: float, block_len: int = 16000,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def burst_oqpsk_window(samples, gate, cfg: BurstOqpskConfig):
+def burst_oqpsk_window(samples, gate, cfg: BurstOqpskConfig,
+                       freq_center=None):
+    if freq_center is None:
+        freq_center = jnp.asarray(cfg.freq_center, jnp.float32)
     W = cfg.window_len
     step = cfg.strobe_step
     x = jnp.asarray(samples, jnp.float32)
@@ -75,7 +78,7 @@ def burst_oqpsk_window(samples, gate, cfg: BurstOqpskConfig):
     gate = (jnp.convolve(gate, dil, mode="same") > 0).astype(jnp.float32)
 
     _, bb = nco_mix(nco_init(), x.astype(jnp.complex64),
-                    cfg.freq_center / cfg.fs, conj=True)
+                    freq_center / cfg.fs, conj=True)
     dfc = _gated_coarse_offset(bb, gate, cfg.nfft, cfg.fb, cfg.fs,
                                cfg.lockingbw)
     n = jnp.arange(W, dtype=jnp.float32)

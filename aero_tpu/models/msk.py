@@ -285,11 +285,15 @@ def msk_step(state: MskState, samples, cfg: MskConfig):
                       jnp.clip(jnp.round(ob_re * 127.0 + 128.0), 0, 255)],
                      axis=-1).reshape(-1).astype(jnp.uint8)
 
-    # constellation MSE (ref :386-388) as a block mean + EMA carry
+    # constellation MSE (ref :386-388) as a block mean + EMA carry; right
+    # after a retune the EMA restarts from the fresh block (the stale
+    # carry only slows re-lock — a noise block still reads ~1.0, far from
+    # threshold, so acquisition certainty is unchanged)
     tda = jnp.abs(pt_re * 0.75) - 1.0
     tdb = jnp.abs(pt_im * 0.75) - 1.0
     blk_mse = jnp.mean(tda * tda + tdb * tdb)
-    mse = 0.7 * state.mse + 0.3 * blk_mse
+    mse = jnp.where(state.have_lock_refs,
+                    0.7 * state.mse + 0.3 * blk_mse, blk_mse)
     locked = mse < cfg.signal_threshold
 
     # Eb/N0 estimate from the matched-filter envelope (scale-invariant;
@@ -301,9 +305,14 @@ def msk_step(state: MskState, samples, cfg: MskConfig):
 
     # AFC: while unlocked, retune by the coarse estimate (relative to the
     # current mix freq; hysteresis avoids FFT-bin flapping).  Flood the
-    # smoothed spectrum on retune (ref bigchange()).
+    # smoothed spectrum on retune (ref bigchange()).  A moderate stable
+    # offset can hold a FALSE lock (the constant-envelope eye MSE degrades
+    # gently with CFO), and an offset beyond the fine-CFO capture span can
+    # never be absorbed by the fine loop — so retune then even if "locked".
     retune_threshold = 1.6 * (cfg.fs / cfg.nfft)
-    retune = jnp.logical_not(locked) & (jnp.abs(dfc) > retune_threshold)
+    stuck = jnp.abs(dfc) > 4.0 * cfg.fine_span_hz
+    retune = (jnp.abs(dfc) > retune_threshold) \
+        & (jnp.logical_not(locked) | stuck)
     freq = jnp.where(retune, state.freq + dfc, state.freq)
     coarse_y = jnp.where(retune, jnp.full_like(coarse_y, 20.0), coarse_y)
 
@@ -312,6 +321,10 @@ def msk_step(state: MskState, samples, cfg: MskConfig):
     freq = freq + jnp.where(retune, 0.0, df * cfg.fs)
     theta_next = jnp.mod(theta + 2.0 * jnp.pi * df * L, 2.0 * jnp.pi)
     have_refs = jnp.logical_not(retune)
+    # the signal level at the new tune is unrelated to the old one: restart
+    # the AGC carry so the next block normalizes from its own mean (the
+    # reference's AGC window carries no long memory, DSP.cpp:358-385)
+    agc_ema = jnp.where(retune, 0.0, agc_ema)
 
     new_state = MskState(nco_phase, freq, coarse_y, mf_state, agc_ema, tail,
                          theta_next, grid, have_refs, diff_im, diff_re, mse)

@@ -212,8 +212,10 @@ def oqpsk_step(state: OqpskState, samples, cfg: OqpskConfig):
          jnp.clip(jnp.round(0.75 * pt_i * 127.0 + 128.0), 0, 255)],
         axis=-1).reshape(-1).astype(jnp.uint8)
 
+    # EMA restarts from the fresh block after a retune (see models/msk.py)
     blk_mse = eye_mse(grid)
-    mse = 0.7 * state.mse + 0.3 * blk_mse
+    mse = jnp.where(state.have_lock_refs,
+                    0.7 * state.mse + 0.3 * blk_mse, blk_mse)
     locked = mse < cfg.signal_threshold
 
     # Eb/N0 estimate from the matched-filter envelope (scale-invariant;
@@ -223,13 +225,19 @@ def oqpsk_step(state: OqpskState, samples, cfg: OqpskConfig):
     _v = jnp.mean(mag * mag) - _m * _m
     ebno_db = msk_ebno(_m, _v)
 
+    # retune while unlocked, or when a stable coarse offset sits beyond
+    # the fine-CFO capture span (false lock — see models/msk.py)
     retune_threshold = 1.6 * (cfg.fs / cfg.nfft)
-    retune = jnp.logical_not(locked) & (jnp.abs(dfc) > retune_threshold)
+    stuck = jnp.abs(dfc) > 4.0 * cfg.fine_span_hz
+    retune = (jnp.abs(dfc) > retune_threshold) \
+        & (jnp.logical_not(locked) | stuck)
     freq = jnp.where(retune, state.freq + dfc, state.freq)
     coarse_y = jnp.where(retune, jnp.full_like(coarse_y, 20.0), coarse_y)
     freq = freq + jnp.where(retune, 0.0, df * cfg.fs)
     theta_next = jnp.mod(theta + 2.0 * jnp.pi * df * L, 2.0 * jnp.pi)
     have_refs = jnp.logical_not(retune)
+    # restart the AGC carry at the new tune (see models/msk.py)
+    agc_ema = jnp.where(retune, 0.0, agc_ema)
 
     new_state = OqpskState(nco_phase, freq, coarse_y, mf_state, agc_ema, tail,
                            theta_next, grid, have_refs, mse)

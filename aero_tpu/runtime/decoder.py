@@ -26,7 +26,8 @@ import numpy as np
 from aero_tpu.protocol.framing import PChannelFramer
 from aero_tpu.protocol.su_dispatch import PChannelSUDispatcher
 from aero_tpu.io.output import to_output_format
-from aero_tpu.io.forwarder import ForwardTarget, parse_forwarder
+from aero_tpu.io.forwarder import (AsyncForwardQueue, ForwardTarget,
+                                   parse_forwarder)
 from aero_tpu.runtime.hunter import SignalHunter
 
 
@@ -57,6 +58,11 @@ class Decoder:
         self._voice_file = open(opts.voice_out, "wb") if opts.voice_out else None
         self.targets = [ForwardTarget(parse_forwarder(s))
                         for s in opts.forwarders]
+        # egress decoupled from decode: a stalled sink only fills the
+        # bounded queue (drop-oldest), never the decode loop
+        # (ref decode.cpp:368-416 forwarder thread)
+        self.fwd_queue = AsyncForwardQueue(self.targets) \
+            if self.targets else None
         self._make_demod()
         self._make_framing()
         # hunter: the reference counts ~6 signal reports/s with maxTries 15
@@ -118,7 +124,10 @@ class Decoder:
 
     def _set_center(self, freq_center: float):
         st = self.demod.state
-        if st is None:          # burst demods re-estimate per window
+        if st is None:
+            # burst demods: shift the per-window CFO search center
+            # (ref retunes burst demods too, decode.cpp:182,211)
+            self.demod.set_center(freq_center)
             return
         import jax.numpy as jnp
         self.demod.state = st._replace(
@@ -193,9 +202,19 @@ class Decoder:
         line = to_output_format(self.opts.fmt, self.opts.station_id,
                                 self.opts.disable_reassembly, item)
         print(line, flush=True)
-        for t in self.targets:
-            t.send(to_output_format(t.spec.fmt, self.opts.station_id,
-                                    self.opts.disable_reassembly, item))
+        if self.fwd_queue is not None:
+            self.fwd_queue.submit(self.opts.station_id,
+                                  self.opts.disable_reassembly, item)
+
+    def close(self):
+        """Flush and stop the forwarder worker; close outputs."""
+        if self.fwd_queue is not None:
+            self.fwd_queue.flush()
+            self.fwd_queue.close()
+            self.fwd_queue = None
+        if self._voice_file:
+            self._voice_file.close()
+            self._voice_file = None
 
     # ---- run loops ----
 
@@ -216,6 +235,7 @@ class Decoder:
                     break
         finally:
             sub.close()
+            self.close()
 
     def run_file(self, path: str, sample_rate: int | None = None):
         """Decode a PCM int16 raw file or WAV file, then flush."""
@@ -232,6 +252,4 @@ class Decoder:
         # flush with silence so trailing frames decode
         pad = np.zeros(2 * self.demod.cfg.block_len, np.float32)
         self.feed_audio((pad * 32767).astype("<i2").tobytes(), rate)
-        if self._voice_file:
-            self._voice_file.close()
-            self._voice_file = None
+        self.close()

@@ -316,6 +316,7 @@ class FusedStation:
             freq=jnp.where(fire, tune, s2.freq),
             mse=jnp.where(fire, jnp.float32(2.0), s2.mse),
             have_lock_refs=jnp.where(fire, False, s2.have_lock_refs),
+            agc_ema=jnp.where(fire, jnp.float32(0.0), s2.agc_ema),
             coarse_y=jnp.where(fire, jnp.full_like(s2.coarse_y, 20.0),
                                s2.coarse_y))
         return s2, {"tries": tries, "center": center}

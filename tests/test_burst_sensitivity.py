@@ -1,0 +1,93 @@
+"""Burst acquisition at real SNR (VERDICT r2 item 3).
+
+The autocorrelation detection arm (models/burst_common._autocorr_rho,
+the reference's conj-product arm reformulated as a dense block conv —
+ref decode/burstmskdemodulator.cpp:376-385) must detect and decode R/T
+bursts several dB below where the legacy power gate (env > 2.5x noise
+floor, i.e. ~+4 dB) stops working.  Sweep: full-band SNR 10 dB down to
+0 dB (Eb/N0 = SNR + 10 log10(fs/2fb) = SNR + 10 dB at 600 bps/12 kHz).
+"""
+
+import numpy as np
+import pytest
+
+from aero_tpu.models.burst_msk import BurstMskDemodulator
+from aero_tpu.models.msk import msk_modulate
+from aero_tpu.protocol.rt_framing import (RTChannelFramer, build_r_burst,
+                                          build_t_burst)
+from aero_tpu.protocol.isu import make_acars_userdata, segment_isu
+
+
+def _r_info(payload=b"LOW SNR BST"):
+    return (bytes([0x1B, 0x28, 0x0A, 0x0B, 0x0C, 0x77]) + payload
+            ).ljust(17, b"\0")[:17]
+
+
+def _run_burst_chain(snr_db, seed, freq=2600.0, n_bursts=3):
+    """n_bursts R-bursts in noise at full-band snr_db; returns decoded
+    R-packet count."""
+    fs, fb = 12000.0, 600.0
+    rng = np.random.default_rng(seed)
+    burst = msk_modulate(build_r_burst(_r_info(), preamble_bits=96),
+                         fs, fb, freq=freq, amplitude=0.3)
+    parts = [np.zeros(30000, np.float32)]
+    for _ in range(n_bursts):
+        parts += [burst, np.zeros(40000, np.float32)]
+    sig = np.concatenate(parts)
+    p = np.mean(burst ** 2)
+    sig = sig + rng.normal(0, np.sqrt(p / 10 ** (snr_db / 10)),
+                           len(sig)).astype(np.float32)
+
+    dm = BurstMskDemodulator(fs, fb)
+    fr = RTChannelFramer()
+    kinds = []
+    for i in range(0, (len(sig) // 16000) * 16000, 16000):
+        for o in dm.process(sig[i:i + 16000]):
+            if o["burst"]:
+                kinds += [e.kind for e in fr.feed(o["soft_bits"])]
+    return kinds.count("R")
+
+
+@pytest.mark.parametrize("snr_db,min_ok", [
+    (10.0, 3),          # benign (the only case round 2 proved)
+    (4.0, 3),           # below the power gate's ~4 dB headroom need
+    (2.0, 2),
+    (0.0, 2),           # signal is 1x the noise power
+    (-2.0, 2),          # Eb/N0 ~ 8 dB
+])
+def test_burst_detection_snr_sweep(snr_db, min_ok):
+    assert _run_burst_chain(snr_db, seed=abs(int(10 * snr_db)) + 1) >= min_ok
+
+
+def test_burst_t_packet_at_low_snr():
+    """A T burst with ACARS payload decodes end to end at 2 dB SNR."""
+    fs, fb = 12000.0, 600.0
+    rng = np.random.default_rng(5)
+    sus = segment_isu(make_acars_userdata("2", "N100TP", "!", "H1", "A",
+                                          "LOW SNR T"), 0x123456, 0x41)
+    burst = msk_modulate(build_t_burst(0x123456, 0x41, sus,
+                                       preamble_bits=96),
+                         fs, fb, freq=3100.0, amplitude=0.3)
+    sig = np.concatenate([np.zeros(25000, np.float32), burst,
+                          np.zeros(50000, np.float32)])
+    p = np.mean(burst ** 2)
+    sig = sig + rng.normal(0, np.sqrt(p / 10 ** (2.0 / 10)),
+                           len(sig)).astype(np.float32)
+    dm = BurstMskDemodulator(fs, fb)
+    acars = []
+    fr = RTChannelFramer(on_acars=acars.append)
+    for i in range(0, (len(sig) // 16000) * 16000, 16000):
+        for o in dm.process(sig[i:i + 16000]):
+            if o["burst"]:
+                fr.feed(o["soft_bits"])
+    assert any(a.message == "LOW SNR T" for a in acars)
+
+
+def test_no_bursts_in_pure_noise_with_autocorr_arm():
+    rng = np.random.default_rng(4)
+    dm = BurstMskDemodulator(12000, 600)
+    got = []
+    for _ in range(8):
+        for o in dm.process(rng.normal(0, 0.1, 16000).astype(np.float32)):
+            got.append(bool(o["burst"]))
+    assert not any(got)

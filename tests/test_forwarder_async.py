@@ -1,0 +1,94 @@
+"""Async forwarder egress (VERDICT r2 item 5): a stalled sink must never
+block the decode loop; overflow drops oldest + counts.
+Ref: /root/reference/decode/decode.cpp:368-416 (condvar forwarder thread).
+"""
+
+import socket
+import threading
+import time
+
+from aero_tpu.io.forwarder import (AsyncForwardQueue, ForwardTarget,
+                                   parse_forwarder)
+from aero_tpu.protocol.isu import ACARSItem, ISUItem
+
+
+def _item(text):
+    return ACARSItem(isuitem=ISUItem(AESID=0x123456, GESID=0x41),
+                     MODE=ord("2"), TAK=ord("!"), LABEL=b"H1", BI=ord("A"),
+                     PLANEREG=b".N1TEST", valid=True, hastext=True,
+                     message=text)
+
+
+class _StalledTarget:
+    """send() blocks like a TCP target whose peer never reads."""
+
+    def __init__(self):
+        self.spec = parse_forwarder("jsondump=tcp://127.0.0.1:9")
+        self.sent = 0
+
+    def send(self, line):
+        time.sleep(0.05)
+        self.sent += 1
+        return True
+
+    def close(self):
+        pass
+
+
+def test_stalled_sink_never_blocks_submit():
+    t = _StalledTarget()
+    q = AsyncForwardQueue([t], maxsize=16)
+    t0 = time.perf_counter()
+    for i in range(200):
+        q.submit("STA", False, _item(f"MSG {i}"))
+    dt = time.perf_counter() - t0
+    assert dt < 0.5, f"submit blocked for {dt:.2f}s"
+    # 200 items at 20/s into a 16-slot queue: most dropped, oldest first
+    assert q.dropped > 100
+    assert len(q) <= 16
+    q.close()
+    assert t.sent + q.dropped + len(q) >= 200 - 1
+
+
+def test_queue_drains_and_delivers_over_real_tcp():
+    received = []
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def reader():
+        conn, _ = srv.accept()
+        buf = b""
+        while b"\n" not in buf or buf.count(b"\n") < 3:
+            d = conn.recv(4096)
+            if not d:
+                break
+            buf += d
+        received.extend(buf.decode().strip().split("\n"))
+        conn.close()
+
+    th = threading.Thread(target=reader, daemon=True)
+    th.start()
+    tgt = ForwardTarget(parse_forwarder(f"jsondump=tcp://127.0.0.1:{port}"))
+    q = AsyncForwardQueue([tgt])
+    for i in range(3):
+        q.submit("STA", False, _item(f"OVER TCP {i}"))
+    assert q.flush(5.0)
+    th.join(5.0)
+    q.close()
+    srv.close()
+    assert len(received) == 3
+    assert all("OVER TCP" in r for r in received)
+    assert q.dropped == 0
+
+
+def test_decoder_wires_async_queue():
+    from aero_tpu.runtime.decoder import Decoder, DecoderOptions
+    d = Decoder(DecoderOptions(bitrate=1200,
+                               forwarders=["text=udp://127.0.0.1:45678"]))
+    assert d.fwd_queue is not None
+    d.handle_acars(_item("VIA DECODER"))
+    assert d.fwd_queue.flush(5.0)
+    d.close()
+    assert d.fwd_queue is None
