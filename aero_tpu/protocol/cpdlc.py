@@ -356,25 +356,74 @@ def decode_at1(payload: bytes, downlink: bool) -> dict:
     return out
 
 
-def decode_session(payload: bytes) -> dict:
-    """Best-effort decode of a CR1/CC1/DR1 session-management payload.
+# DO-219 CPDLC connection management.  The ground's connect request
+# (CR1) carries flight-plan correlation data the avionics checks against
+# the active FMS flight plan before confirming (CC1): aircraft flight
+# identification, departure and destination ICAO airports, and an
+# optional departure time (EDCT).  The disconnect request (DR1) carries
+# no mandatory data.  The reference forwards these to libacars
+# (ref: decode/decode.cpp:50-58); like the AT1 set, the exact UPER
+# layout is a documented clean-room reconstruction (fans.py docstring),
+# so acceptance is guarded: structure is only surfaced when the parse
+# consumes the payload cleanly (zero pad bits, valid charsets) and the
+# raw hex is always kept alongside.
+CONNECT_DATA = fans.SEQ_CONNECT_DATA
 
-    The connect request/confirm bodies carry the handing-over/receiving
-    ATC facility.  When the payload cleanly parses as a UPER 4-letter
-    ICAO facility designation (7-bit IA5, A-Z only, <= 7 pad bits of
-    zeros) we surface it; the raw hex is always kept alongside.
-    """
+
+def _clean_tail(r: BitReader) -> bool:
+    """True iff <8 bits remain and all of them are zero padding."""
+    if r.bits_left >= 8:
+        return False
+    return r.read(r.bits_left) == 0 if r.bits_left else True
+
+
+def decode_session(imi: str, payload: bytes) -> dict:
+    """Structural decode of a CR1/CC1/DR1 session-management payload."""
     out = {"payload_hex": payload.hex().upper()}
+    if not payload:
+        out["empty"] = True
+        return out
+    if imi in ("CR1", "CC1"):
+        try:
+            r = BitReader(payload)
+            data = CONNECT_DATA.dec(r)
+            fid = data.get("flight_id", "")
+            airports = [data.get(k) for k in
+                        ("airport_departure", "airport_destination")]
+            if (_clean_tail(r)
+                    and all("A" <= c <= "Z" or "0" <= c <= "9" for c in fid)
+                    and all(a is None or all("A" <= c <= "Z" for c in a)
+                            for a in airports)):
+                out.update(data)
+                return out
+        except (EOFError, ValueError):
+            pass
+    # fallback (and the DR1 path): a bare 4-letter facility designation
     try:
         r = BitReader(payload)
         fac = fans.FACILITY_DESIGNATION.dec(r)
-        pad_ok = r.bits_left < 8 and (r.read(r.bits_left) == 0
-                                      if r.bits_left else True)
-        if pad_ok and all("A" <= c <= "Z" for c in fac):
+        if _clean_tail(r) and all("A" <= c <= "Z" for c in fac):
             out["facility_designation"] = fac
     except (EOFError, ValueError):
         pass
     return out
+
+
+def encode_session(flight_id: str, airport_departure: str | None = None,
+                   airport_destination: str | None = None,
+                   time_departure: str | None = None) -> bytes:
+    """Build a CR1/CC1 connect-management payload (tests / synthetic)."""
+    v: dict = {"flight_id": flight_id}
+    if airport_departure is not None:
+        v["airport_departure"] = airport_departure
+    if airport_destination is not None:
+        v["airport_destination"] = airport_destination
+    if time_departure is not None:
+        h, m = (int(x) for x in time_departure.split(":"))
+        v["time_departure"] = {"hours": h, "minutes": m}
+    w = BitWriter()
+    CONNECT_DATA.enc(w, v)
+    return w.to_bytes()
 
 
 def decode(imi: str, payload: bytes, downlink: bool) -> dict:
@@ -383,7 +432,7 @@ def decode(imi: str, payload: bytes, downlink: bool) -> dict:
     if imi == "AT1":
         body.update(decode_at1(payload, downlink))
     else:
-        body.update(decode_session(payload))
+        body.update(decode_session(imi, payload))
     return {"cpdlc": body}
 
 

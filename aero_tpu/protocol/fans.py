@@ -147,6 +147,17 @@ WINDS = SEQ(
 
 VERSION_NUMBER = INT(0, 15)
 
+# CPDLC connect-management (CR1/CC1) flight-plan correlation data:
+# flight id + departure/destination airports (+ optional EDCT), the
+# fields the avionics verifies against the FMS before confirming the
+# connection (DO-219 connection management; consumed by cpdlc.py).
+SEQ_CONNECT_DATA = SEQ(
+    ("flight_id", IA5(2, 8)),
+    ("airport_departure", IA5(4, 4), True),
+    ("airport_destination", IA5(4, 4), True),
+    ("time_departure", TIME, True),
+)
+
 PROCEDURE_NAME = SEQ(
     ("type", ENUM("arrival", "approach", "departure")),
     ("procedure", IA5(1, 20)),
