@@ -30,6 +30,7 @@ from aero_tpu.ops import (nco_init, fir_init, fir_apply, fir_decimate_init,
 from aero_tpu.ops.nco import nco_mix
 from aero_tpu.ops.fir import delay_init, delay_apply
 from aero_tpu.channelizer.config import ChannelizerConfig
+from aero_tpu import native
 from aero_tpu.ops.compat import tree_pack, tree_unpack, pack_c64, unpack_c64
 
 _HB = HALFBAND_TAPS[11].astype(np.float32)   # vfo.init uses 11 taps (vfo.cpp:106-108)
@@ -59,7 +60,8 @@ class Channelizer:
     def __init__(self, cfg: ChannelizerConfig):
         self.cfg = cfg
         self.fs = cfg.sample_rate
-        self._dc = 0.0 + 0.0j
+        self._dc = 0.0 + 0.0j                      # block-approx carry
+        self._dc_state = np.zeros(2, np.float32)   # native per-sample carry
 
         # ---- main VFO groups by decim_count ----
         self.main_groups = defaultdict(list)     # decim -> [main indices]
@@ -187,14 +189,22 @@ class Channelizer:
         """
         iq = np.asarray(iq, np.complex64)
         if self.cfg.correct_dc_bias:
-            # one-pole DC tracker (ref: publisher.cpp:292-296), applied at
-            # block level with the equivalent time constant
+            # one-pole DC tracker, alpha = 1e-6 (ref: publisher.cpp:292-296)
             alpha = 1e-6
-            n = len(iq)
-            w = (1 - alpha) ** np.arange(n, 0, -1)
-            blk_mean = np.mean(iq)   # block approximation
-            self._dc = self._dc * (1 - alpha) ** n + blk_mean * (1 - (1 - alpha) ** n)
-            iq = iq - self._dc
+            if native.have_native_ingest():
+                # exact per-sample form (native/ingest.cc aero_dc_correct);
+                # copy first — the C routine corrects in place
+                iq = iq.copy()
+                native.dc_correct_native(iq, alpha, self._dc_state)
+            else:
+                # block approximation with the equivalent time constant;
+                # error vs the exact form is bounded by alpha * n * |x|max
+                # per block (tests/test_channelizer.py::test_dc_correction)
+                n = len(iq)
+                blk_mean = np.mean(iq)
+                self._dc = (self._dc * (1 - alpha) ** n
+                            + blk_mean * (1 - (1 - alpha) ** n))
+                iq = iq - self._dc
 
         x2 = jnp.asarray(np.stack([iq.real, iq.imag]))   # float pair
         outputs = []
