@@ -1,22 +1,77 @@
 #!/usr/bin/env python3
-"""Publish a WAV/raw-PCM file (or stdin) in the aero wire format over ZMQ.
+"""Publish audio in the aero wire format over ZMQ: a WAV/raw-PCM file,
+stdin, or a LIVE audio capture device.
 
 Equivalent of the reference's PyQt5 audio-publisher test harness
-(ref: tools/audio-publisher:76-132) without the Qt audio-device capture:
-streams recorded audio so aero-decode (ours or the reference's) can be
-driven without an SDR.  Wire format: [topic][uint32le rate][payload]
+(ref: tools/audio-publisher:76-132), including its device-capture mode
+(the reference records a QtMultimedia input at 48 kHz S16LE mono): pass
+``dev:<name>`` (e.g. ``dev:default``, ``dev:pulse-monitor-name``) as the
+input and the first available capture backend is used — the
+``sounddevice`` module, ``arecord`` (ALSA), or ``parec`` (PulseAudio).
+Streams so aero-decode (ours or the reference's) can be driven without
+an SDR.  Wire format: [topic][uint32le rate][payload]
 (ref: tools/audio-publisher:125-129).
 
 Usage:
   python tools/audio_publisher.py capture.wav --topic VFO1 \
       --bind tcp://*:5555 [--realtime]
+  python tools/audio_publisher.py dev:default --rate 48000 --topic VFO1
 """
 
 import argparse
+import shutil
 import struct
+import subprocess
 import sys
 import time
 import wave
+
+
+def capture_stream(device: str, rate: int, chunk_frames: int):
+    """Yield s16le mono byte chunks from a live capture device.
+
+    Backends, first available wins: python-sounddevice, arecord (ALSA),
+    parec (PulseAudio).  Raises RuntimeError when none is usable so the
+    CLI can report exactly what is missing (this harness environment has
+    no audio stack; on a workstation any of the three will be present).
+    """
+    try:
+        import sounddevice  # noqa: PLC0415
+
+        with sounddevice.RawInputStream(
+                samplerate=rate, channels=1, dtype="int16",
+                device=None if device in ("", "default") else device,
+                blocksize=chunk_frames) as stream:
+            while True:
+                data, _overflowed = stream.read(chunk_frames)
+                yield bytes(data)
+    except ImportError:
+        pass
+
+    if shutil.which("arecord"):
+        cmd = ["arecord", "-q", "-f", "S16_LE", "-c", "1", "-r", str(rate),
+               "-t", "raw"]
+        if device not in ("", "default"):
+            cmd += ["-D", device]
+    elif shutil.which("parec"):
+        cmd = ["parec", "--format=s16le", "--channels=1",
+               f"--rate={rate}", "--raw"]
+        if device not in ("", "default"):
+            cmd += [f"--device={device}"]
+    else:
+        raise RuntimeError(
+            "no audio capture backend: install python-sounddevice, "
+            "alsa-utils (arecord), or pulseaudio-utils (parec)")
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE)
+    try:
+        nbytes = chunk_frames * 2
+        while True:
+            data = proc.stdout.read(nbytes)
+            if not data:
+                return
+            yield data
+    finally:
+        proc.terminate()
 
 
 def main():
@@ -48,6 +103,12 @@ def main():
         sock.send(payload)
 
     while True:
+        if args.input.startswith("dev:"):
+            rate = args.rate
+            chunk = int(rate * args.chunk_ms / 1000)
+            for data in capture_stream(args.input[4:], rate, chunk):
+                send(rate, data)       # capture is inherently real time
+            return
         if args.input == "-":
             rate = args.rate
             chunk = int(rate * args.chunk_ms / 1000) * 2
