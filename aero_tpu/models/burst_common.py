@@ -100,9 +100,15 @@ class BurstWindowDemodulator:
 
         # ---- candidate detections ----
         lag = max(1, int(round(2.0 * cfg.fs / cfg.fb)))
-        rho = np.asarray(_autocorr_rho(self._ring, lag, 16 * sps))
+        # integration floor in ABSOLUTE samples: at high symbol rates
+        # (OQPSK 10500 @ 48k -> sps=4) 16*sps is only 64 samples, where
+        # noise rho peaks at ~0.6 and false windows chop real bursts
+        # (measured r3); 256 samples keeps noise max ~0.31 < threshold
+        # while staying well under the shortest (96-bit) preamble
+        det_smooth = max(16 * sps, 256)
+        rho = np.asarray(_autocorr_rho(self._ring, lag, det_smooth))
         det = rho > self.rho_threshold
-        min_det = 6 * sps
+        min_det = max(6 * sps, det_smooth // 2)
         cands = [s for s, e in _bool_runs(det) if e - s >= min_det]
         # power arm: starts of strong gate runs (legacy high-SNR path)
         strong = env > (cfg.gate_ratio * nf)
@@ -117,13 +123,25 @@ class BurstWindowDemodulator:
             if s < consumed:
                 continue
             # burst extent: envelope thresholded between the noise floor
-            # and the level measured around the detection
-            around = env[s: s + 16 * sps]
-            p_sig = float(np.mean(around)) if len(around) else nf
+            # and the level measured around the detection.  The level is
+            # a 75th percentile over 2*det_smooth samples, not a short
+            # mean at the detection edge: the edge sits on the burst's
+            # ramp-up, and an underestimated level puts the threshold
+            # inside the noise distribution — the gap-bridging below
+            # then chains across noise blips to the ring end and the
+            # window defers until the burst scrolls out (r3 high-SNR
+            # OQPSK failure)
+            span = env[s: s + 2 * det_smooth]
+            p_sig = float(np.percentile(span, 75.0)) if len(span) else nf
             thr = nf + 0.35 * max(p_sig - nf, 0.0)
             gate = env > max(thr, 1.5 * nf)
             runs_g = _bool_runs(gate)
-            run = next(((gs, ge) for gs, ge in runs_g if gs <= s < ge),
+            # the detection edge fires on the preamble ramp at a LOWER
+            # level than the extent threshold, so the gate run may start
+            # shortly AFTER s — accept the run containing s or the first
+            # run starting within the detector's own integration length
+            run = next(((gs, ge) for gs, ge in runs_g
+                        if gs <= s < ge or s <= gs <= s + 2 * det_smooth),
                        None)
             if run is None:
                 continue
@@ -158,8 +176,19 @@ class BurstWindowDemodulator:
             # first and last on-sample inside the window
             on = np.flatnonzero(gwin)
             if on.size:
-                gwin[on[0]: on[-1] + 1] = True
-                ge = max(ge, min(w0 + int(on[-1]), len(gate)))
+                # ... and dilate the edges by the envelope smoothing
+                # length: the smoothed-envelope threshold crossing sits
+                # INSIDE the burst (later at the start, earlier at the
+                # end, the more so the higher the threshold), and a
+                # clipped tail starves the framer's last checkpoint
+                # while extra noise strobes are harmless (UW search
+                # skips them).  Measured r3: a high-SNR gate clipped
+                # ~15 edge bits and T-packets stopped framing.
+                edge = 2 * self._smooth_len()
+                lo = max(0, int(on[0]) - edge)
+                hi = min(len(gwin), int(on[-1]) + 1 + edge)
+                gwin[lo:hi] = True
+                ge = max(ge, min(w0 + hi, len(gate)))
             if len(win) < W:
                 win = np.pad(win, (0, W - len(win)))
                 gwin = np.pad(gwin, (0, W - len(gwin)))

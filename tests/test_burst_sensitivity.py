@@ -91,3 +91,51 @@ def test_no_bursts_in_pure_noise_with_autocorr_arm():
         for o in dm.process(rng.normal(0, 0.1, 16000).astype(np.float32)):
             got.append(bool(o["burst"]))
     assert not any(got)
+
+
+# ---- OQPSK (C-band 10500) burst sweep -------------------------------
+
+def _run_oqpsk_burst_chain(snr_db, seed, n_bursts=3):
+    """n_bursts OQPSK T-bursts in AWGN at full-band snr_db; returns the
+    number of decoded T packets.  Eb/N0 = SNR + 10 log10(fs/2fb) =
+    SNR + 3.6 dB at 10500 bps / 48 kHz."""
+    from aero_tpu.models.burst_oqpsk import BurstOqpskDemodulator
+    from aero_tpu.models.oqpsk import oqpsk_modulate
+
+    fs, fb = 48000.0, 10500.0
+    rng = np.random.default_rng(seed)
+    ud = make_acars_userdata("2", "VH-OQB", "!", "H1", "A",
+                             "TEST VIA T CHANNEL")
+    sus = segment_isu(ud, 0x123456, 0x41)
+    burst = oqpsk_modulate(build_t_burst(0x123456, 0x41, sus, oqpsk=True,
+                                         preamble_bits=128),
+                           fs, fb, freq=7400.0, amplitude=0.3)
+    parts = [np.zeros(40000, np.float32)]
+    for _ in range(n_bursts):
+        parts += [burst, np.zeros(80000, np.float32)]
+    sig = np.concatenate(parts)
+    p = np.mean(burst ** 2)
+    sig = sig + rng.normal(0, np.sqrt(p / 10 ** (snr_db / 10)),
+                           len(sig)).astype(np.float32)
+
+    dm = BurstOqpskDemodulator(fs, fb)
+    fr = RTChannelFramer(oqpsk=True)
+    kinds = []
+    for i in range(0, (len(sig) // 16000) * 16000, 16000):
+        for o in dm.process(sig[i:i + 16000]):
+            if o["burst"]:
+                kinds += [e.kind for e in fr.feed(o["soft_bits"])]
+    return kinds.count("T")
+
+
+@pytest.mark.parametrize("snr_db,min_ok", [
+    (20.0, 3),          # near-clean: r3 regression guard — the extent
+    (10.0, 3),          # gate used to clip burst edges at high SNR and
+    (6.0, 3),           # the detector false-fired (sps=4 smoothing)
+    (2.0, 3),
+    (0.0, 2),           # Eb/N0 ~ 3.6 dB
+    (-2.0, 1),
+])
+def test_burst_oqpsk_snr_sweep(snr_db, min_ok):
+    assert _run_oqpsk_burst_chain(
+        snr_db, seed=abs(int(10 * snr_db)) + 3) >= min_ok
