@@ -506,6 +506,40 @@ class FusedStation:
             self._state, jnp.asarray(iqs), jnp.asarray(scales))
         self._inflight.append(packed)
 
+    def shard(self, mesh, axis_name: str = "vfo"):
+        """Partition the per-VFO banks over one mesh axis (the production
+        multi-chip path; SURVEY.md §2.5 — channel parallelism is THE
+        natural TPU axis).  Per-VFO leaves (demod carries, hunter scan
+        state, residual phases) are sharded on their leading row axis;
+        the wideband PFB carries are replicated, so XLA partitions the
+        demod banks across chips and broadcasts the channelizer stage.
+        Every rate group's VFO count must divide the axis size.  Call
+        after construction or after ``load_checkpoint``; returns self.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_axis = mesh.shape[axis_name]
+        for key, idxs in self.groups.items():
+            if len(idxs) % n_axis:
+                raise ValueError(
+                    f"group {key}: {len(idxs)} VFOs not divisible by "
+                    f"mesh axis {axis_name!r} of size {n_axis}")
+
+        def put(leaf, spec):
+            return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+        def put_vfo(tree):
+            return jax.tree.map(
+                lambda l: put(l, P(axis_name, *([None] * (l.ndim - 1)))),
+                tree)
+
+        self._state = {
+            "pfb": {r: put(v, P()) for r, v in self._state["pfb"].items()},
+            "grp": {key: {k: put_vfo(v) for k, v in g.items()}
+                    for key, g in self._state["grp"].items()},
+        }
+        return self
+
     def flush(self):
         """Drain pending and in-flight blocks (call at end of stream)."""
         t0 = time.perf_counter()

@@ -9,6 +9,7 @@ Ref: /root/reference/decode/aerol.cpp:2145-2430 (C channel),
 """
 
 import numpy as np
+import pytest
 from scipy.signal import firwin, lfilter
 
 from aero_tpu.channelizer import load_ini
@@ -119,3 +120,44 @@ def test_fused_station_mixed_rates_voice_and_burst():
         assert voice in cv
     assert st.stats.voice_frames == len(voices) > 0
     assert st.stats.su_ok > 0
+
+
+def test_fused_station_shard_on_mesh():
+    """FusedStation.shard partitions the VFO banks over a mesh axis and
+    produces bit-identical telemetry to the unsharded station (the
+    production multi-chip path the driver dry-runs)."""
+    import jax
+    from jax.sharding import Mesh
+    from aero_tpu.channelizer import load_ini
+    from aero_tpu.runtime.fused_station import FusedStation
+
+    n = min(8, len(jax.devices()))
+    vfos = "".join(
+        f"{i+1}\\frequency={1545002000 + i * 19000}\n"
+        f"{i+1}\\data_rate=1200\n{i+1}\\topic=V{i}\n{i+1}\\gain=100\n"
+        for i in range(n))
+    ini = (f"[General]\nsample_rate=1536000\ncenter_frequency=1545000000\n"
+           f"[vfos]\nsize={n}\n{vfos}")
+
+    def mk():
+        return FusedStation(load_ini(ini, is_text=True),
+                            ingest_dtype="int4", base_block=160,
+                            pipeline=False)
+
+    rng = np.random.default_rng(0)
+    sa = mk()
+    blk = sa.quantize((0.02 * (rng.standard_normal((sa.block_len, 2))
+                               @ [1, 1j])).astype(np.complex64))
+    mesh = Mesh(np.array(jax.devices()[:n]), ("vfo",))
+    sb = mk().shard(mesh)
+    for st in (sa, sb):
+        st.process(blk)
+        st.flush()
+    # partitioned reductions reassociate float ops -> tiny per-element
+    # drift vs the single-device program
+    np.testing.assert_allclose(sa.telemetry, sb.telemetry,
+                               rtol=1e-5, atol=1e-5)
+
+    # indivisible banks are rejected loudly
+    with pytest.raises(ValueError, match="not divisible"):
+        mk().shard(Mesh(np.array(jax.devices()[:3]), ("vfo",)))
