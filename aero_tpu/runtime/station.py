@@ -49,9 +49,11 @@ class Station:
     """Host driver for the full chain."""
 
     def __init__(self, cfg: ChannelizerConfig, on_acars=None, mesh=None,
-                 station_id: str = "AERO-TPU", backend: str = "tree"):
+                 station_id: str = "AERO-TPU", backend: str = "tree",
+                 on_voice=None):
         self.cfg = cfg
         self.station_id = station_id
+        self.on_voice = on_voice or (lambda vfo, data, hex_aes: None)
         if backend == "pfb":
             from aero_tpu.channelizer.pfb import PfbChannelizer
             self.channelizer = PfbChannelizer(cfg)
@@ -67,8 +69,13 @@ class Station:
         for i, s in enumerate(cfg.subs):
             if getattr(s, "burst", False):
                 self.burst_vfos.append(i)
-            elif s.data_rate in (600, 1200, 10500):
+            elif s.data_rate in (600, 1200, 8400, 10500):
                 self.groups[(s.out_rate, s.data_rate)].append(i)
+            else:
+                # the reference rejects unknown rates at startup
+                # (decode/main.cpp bitrate check); never drop silently
+                raise ValueError(
+                    f"VFO {s.topic!r}: unsupported data_rate {s.data_rate}")
         self.banks = {}
         self.framers = {}
         self.dispatchers = {}
@@ -80,9 +87,16 @@ class Station:
                                        float(data_rate), mesh=mesh)
             for i in idxs:
                 topic = cfg.subs[i].topic
-                self.framers[topic] = PChannelFramer(data_rate)
-                self.dispatchers[topic] = PChannelSUDispatcher(
-                    on_acars=self._mk_sink(topic))
+                if data_rate == 8400:
+                    # C channel: voice + sub-band signalling, no ACARS
+                    # (ref aerol.cpp:2145-2430 DecodeC)
+                    from aero_tpu.protocol.c_framing import CChannelFramer
+                    self.framers[topic] = CChannelFramer(
+                        on_voice=self._mk_voice_sink(topic))
+                else:
+                    self.framers[topic] = PChannelFramer(data_rate)
+                    self.dispatchers[topic] = PChannelSUDispatcher(
+                        on_acars=self._mk_sink(topic))
                 self._audio_buf[topic] = np.zeros(0, np.float32)
 
         # burst (R/T) VFOs: per-VFO window demodulators + RT framers
@@ -109,6 +123,12 @@ class Station:
         def sink(item):
             self.stats.acars += 1
             self.on_acars(topic, item)
+        return sink
+
+    def _mk_voice_sink(self, topic):
+        def sink(data, hex_aes):
+            self.stats.voice_frames += 1
+            self.on_voice(topic, data, hex_aes)
         return sink
 
     def process(self, iq_block: np.ndarray):
@@ -144,7 +164,17 @@ class Station:
                 out = bank.process_block(blocks)
                 soft = np.asarray(out["soft_bits"])
                 for row, t in enumerate(topics):
-                    for ev in self.framers[t].feed(soft[row].astype(np.float32)):
+                    evs = self.framers[t].feed(soft[row].astype(np.float32))
+                    if key[1] == 8400:
+                        for ev in evs:
+                            self.stats.frames += 1
+                            for su, ok, _name in ev.signalling:
+                                if ok:
+                                    self.stats.su_ok += 1
+                                else:
+                                    self.stats.su_bad += 1
+                        continue
+                    for ev in evs:
                         self.stats.frames += 1
                         for k, ok in enumerate(ev.su_crc_ok):
                             if ok:
