@@ -49,6 +49,7 @@ def _run_burst_chain(snr_db, seed, freq=2600.0, n_bursts=3):
 
 
 @pytest.mark.parametrize("snr_db,min_ok", [
+    (20.0, 3),          # near-clean (r3 guard: high SNR must not regress)
     (10.0, 3),          # benign (the only case round 2 proved)
     (4.0, 3),           # below the power gate's ~4 dB headroom need
     (2.0, 2),
