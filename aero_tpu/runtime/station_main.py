@@ -34,8 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tree/pfb: classic station; fused: device-resident "
                         "one-jit-per-block fast path (uniform VFO banks)")
     p.add_argument("--ingest-dtype", default="int16",
-                   choices=["int8", "int16", "float32"],
+                   choices=["int2", "int4", "int8", "int16", "float32"],
                    help="fused backend host->device IQ quantization")
+    p.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation cache directory: "
+                        "restarts skip the ~10-40 s first-compile cost")
     p.add_argument("--format", default="jsondump",
                    choices=["jaero", "jsondump", "text"])
     p.add_argument("-s", "--station-id",
@@ -51,24 +54,31 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    import jax
     if args.platform:
-        import jax
         jax.config.update("jax_platforms", args.platform)
+    if args.compile_cache:
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     from aero_tpu.channelizer import load_ini
     from aero_tpu.runtime.station import Station
     from aero_tpu.io.output import to_output_format
-    from aero_tpu.io.forwarder import ForwardTarget, parse_forwarder
+    from aero_tpu.io.forwarder import (AsyncForwardQueue, ForwardTarget,
+                                       parse_forwarder)
     from aero_tpu.protocol.acars_apps import enrich
 
     cfg = load_ini(args.settings)
     targets = [ForwardTarget(parse_forwarder(s)) for s in args.forwarder]
+    # egress decoupled from the decode loop (ref decode.cpp:368-416) —
+    # a stalled TCP sink must not stall the station
+    fwd = AsyncForwardQueue(targets) if targets else None
 
     def on_acars(topic, item):
         enrich(item)
         line = to_output_format(args.format, args.station_id, False, item)
         print(line, flush=True)
-        for t in targets:
-            t.send(to_output_format(t.spec.fmt, args.station_id, False, item))
+        if fwd is not None:
+            fwd.submit(args.station_id, False, item)
 
     if args.backend == "fused":
         from aero_tpu.runtime.fused_station import FusedStation
@@ -140,10 +150,15 @@ def main(argv=None) -> int:
         return 2
 
     s = st.stats
-    print(json.dumps({"final_stats": {
-        "wideband_samples": s.wideband_samples,
-        "frames": s.frames, "su_ok": s.su_ok, "su_bad": s.su_bad,
-        "acars": s.acars}}), file=sys.stderr)
+    final = {"wideband_samples": s.wideband_samples,
+             "frames": s.frames, "su_ok": s.su_ok, "su_bad": s.su_bad,
+             "acars": s.acars}
+    if fwd is not None:
+        fwd.flush()
+        fwd.close()
+        final["forwarded"] = fwd.sent
+        final["forward_dropped"] = fwd.dropped
+    print(json.dumps({"final_stats": final}), file=sys.stderr)
     return 0
 
 

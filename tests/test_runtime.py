@@ -248,3 +248,60 @@ def test_station_cli_sigterm_clean_exit(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_station_cli_compile_cache_and_async_forwarder(tmp_path):
+    """--compile-cache populates a persistent XLA cache dir, and -f
+    forwarders go through the AsyncForwardQueue (final_stats reports
+    forwarded/dropped counters)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+    import threading
+
+    # a TCP sink that accepts and reads everything
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    got = []
+
+    def accept():
+        conn, _ = srv.accept()
+        conn.settimeout(10)
+        try:
+            while True:
+                d = conn.recv(65536)
+                if not d:
+                    return
+                got.append(d)
+        except OSError:
+            pass
+
+    t = threading.Thread(target=accept, daemon=True)
+    t.start()
+
+    ini = tmp_path / "st.ini"
+    ini.write_text("sample_rate=288000\ncenter_frequency=1545100000\n"
+                   "[vfos]\nsize=1\n1\\vfo_frequency=1545100000\n"
+                   "1\\data_rate=1200\n1\\topic=VFO1\n")
+    cache = tmp_path / "xla-cache"
+    iq = tmp_path / "z.cf32"
+    import numpy as np
+    np.zeros(288000, np.complex64).tofile(iq)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "aero_tpu.runtime.station_main",
+         "-c", str(ini), "--iq-file", str(iq), "--platform", "cpu",
+         "--compile-cache", str(cache),
+         "-f", f"jsondump=tcp://127.0.0.1:{port}"],
+        capture_output=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env)
+    err = out.stderr.decode()
+    assert out.returncode == 0, err[-2000:]
+    assert "final_stats" in err and "forward_dropped" in err
+    # the persistent cache captured at least one compiled executable
+    assert cache.is_dir() and any(cache.iterdir())
+    srv.close()
