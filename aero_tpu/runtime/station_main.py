@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="JAX platform override (e.g. cpu)")
     p.add_argument("--stats-every", type=float, default=10.0,
                    help="seconds between stats lines on stderr")
+    p.add_argument("--voice-out", default=None, metavar="FILE",
+                   help="append C-channel voice codec frames (300 B per "
+                        "frame, as decoded) to this file")
     return p
 
 
@@ -80,15 +83,22 @@ def main(argv=None) -> int:
         if fwd is not None:
             fwd.submit(args.station_id, False, item)
 
+    voice_f = open(args.voice_out, "ab") if args.voice_out else None
+
+    def on_voice(topic, data, hex_aes):
+        if voice_f is not None:
+            voice_f.write(data)
+            voice_f.flush()
+
     if args.backend == "fused":
         from aero_tpu.runtime.fused_station import FusedStation
-        st = FusedStation(cfg, on_acars=on_acars,
+        st = FusedStation(cfg, on_acars=on_acars, on_voice=on_voice,
                           station_id=args.station_id,
                           ingest_dtype=args.ingest_dtype)
         B = st.block_len
     else:
-        st = Station(cfg, on_acars=on_acars, station_id=args.station_id,
-                     backend=args.backend)
+        st = Station(cfg, on_acars=on_acars, on_voice=on_voice,
+                     station_id=args.station_id, backend=args.backend)
         B = cfg.buflen_complex
     last_stats = time.time()
 
@@ -158,6 +168,9 @@ def main(argv=None) -> int:
         fwd.close()
         final["forwarded"] = fwd.sent
         final["forward_dropped"] = fwd.dropped
+    if voice_f is not None:
+        final["voice_frames"] = s.voice_frames
+        voice_f.close()
     print(json.dumps({"final_stats": final}), file=sys.stderr)
     return 0
 
