@@ -103,6 +103,7 @@ class AsyncForwardQueue:
         self.maxsize = maxsize
         self.dropped = 0
         self.sent = 0
+        self.errors = 0
         self._q: deque = deque()
         self._cv = threading.Condition()
         self._stop = False
@@ -132,9 +133,19 @@ class AsyncForwardQueue:
                     self._idle.set()
                     return
                 sid, dis, item = self._q.popleft()
-            for t in self.targets:
-                t.send(to_output_format(t.spec.fmt, sid, dis, item))
-            self.sent += 1
+            if self._stop:
+                self.dropped += 1   # close() without flush(): drop fast
+                continue
+            # one poison item (e.g. an unserializable parsed payload)
+            # must not kill egress for the life of the process — the
+            # reference's forwarder thread loops forever
+            # (decode.cpp:368-416)
+            try:
+                for t in self.targets:
+                    t.send(to_output_format(t.spec.fmt, sid, dis, item))
+                self.sent += 1
+            except Exception:                      # noqa: BLE001
+                self.errors += 1
 
     def flush(self, timeout: float | None = 10.0) -> bool:
         """Wait until the queue drains (or timeout).  Returns drained?"""
@@ -145,8 +156,12 @@ class AsyncForwardQueue:
             self._stop = True
             self._cv.notify()
         self._thread.join(timeout)
-        for t in self.targets:
-            t.close()
+        # only tear the sockets down once the worker has actually
+        # stopped: closing under a still-sending worker makes its
+        # reconnect-retry reopen them after "shutdown"
+        if not self._thread.is_alive():
+            for t in self.targets:
+                t.close()
 
     def __len__(self):
         return len(self._q)

@@ -89,7 +89,15 @@ class BurstWindowDemodulator:
         self._ring = np.concatenate([self._ring, samples])
         outs = []
 
-        env = np.asarray(_envelope(self._ring, self._smooth_len()))
+        # detection statistics run over a zero-padded copy bucketed to a
+        # 4096 multiple: the ring length changes after every consumed
+        # burst, and jitting _envelope/_autocorr_rho per distinct length
+        # would retrace+recompile FFT graphs on the decode path
+        n_ring = len(self._ring)
+        n_pad = max(4096, -(-n_ring // 4096) * 4096)
+        padded = np.zeros(n_pad, np.float32)
+        padded[:n_ring] = self._ring
+        env = np.asarray(_envelope(padded, self._smooth_len()))[:n_ring]
         q25 = float(np.percentile(env, 25.0)) if len(env) else 0.0
         if self._noise_floor <= 0:
             self._noise_floor = max(q25, 1e-12)
@@ -106,7 +114,7 @@ class BurstWindowDemodulator:
         # (measured r3); 256 samples keeps noise max ~0.31 < threshold
         # while staying well under the shortest (96-bit) preamble
         det_smooth = max(16 * sps, 256)
-        rho = np.asarray(_autocorr_rho(self._ring, lag, det_smooth))
+        rho = np.asarray(_autocorr_rho(padded, lag, det_smooth))[:n_ring]
         det = rho > self.rho_threshold
         min_det = max(6 * sps, det_smooth // 2)
         cands = [s for s, e in _bool_runs(det) if e - s >= min_det]
@@ -213,7 +221,13 @@ class BurstWindowDemodulator:
             })
             consumed = max(consumed, min(ge + pad, len(self._ring)))
 
-        keep_from = max(consumed, len(self._ring) - (W + 2 * pad))
+        # retained tail must cover the WIDEST window a deferred run can
+        # still become: the deferral above waits on runs ending up to
+        # max_gap + pad before the ring end, so a near-window-length
+        # burst needs W + max_gap + 2*pad of history or its head is
+        # trimmed before the window is ever emitted
+        keep = W + 4 * self._smooth_len() + 2 * pad
+        keep_from = max(consumed, len(self._ring) - keep)
         if keep_from > 0:
             self._ring = self._ring[keep_from:]
         if not outs:

@@ -63,7 +63,7 @@ from aero_tpu.ops.compat import tree_pack, tree_unpack, unpack_c64, pack_c64
 from aero_tpu.protocol.framing import PChannelFramer
 from aero_tpu.protocol.c_framing import CChannelFramer
 from aero_tpu.protocol.su_dispatch import PChannelSUDispatcher
-from aero_tpu.runtime.station import StationStats
+from aero_tpu.runtime.station import StationStats, account_framer_events
 
 # 2-bit dequantization gain: levels {-3,-1,+1,+3} * INT2_GAIN * sigma
 # approximates the Lloyd-Max reconstruction points for Gaussian input
@@ -568,26 +568,12 @@ class FusedStation:
                                 for _ in self.rt_framers[topic].feed(
                                         out["soft_bits"]):
                                     self.stats.frames += 1
-                    elif rate == 8400:
-                        for ev in self.framers[topic].feed(
-                                sb[r].astype(np.float32)):
-                            self.stats.frames += 1
-                            for su, ok, _name in ev.signalling:
-                                if ok:
-                                    self.stats.su_ok += 1
-                                else:
-                                    self.stats.su_bad += 1
                     else:
-                        for ev in self.framers[topic].feed(
-                                sb[r].astype(np.float32)):
-                            self.stats.frames += 1
-                            for k, ok in enumerate(ev.su_crc_ok):
-                                if ok:
-                                    self.stats.su_ok += 1
-                                    self.dispatchers[topic].dispatch(
-                                        ev.infofield[k * 12:(k + 1) * 12])
-                                else:
-                                    self.stats.su_bad += 1
+                        account_framer_events(
+                            self.stats, rate,
+                            self.framers[topic].feed(
+                                sb[r].astype(np.float32)),
+                            self.dispatchers.get(topic))
 
     # ---- checkpoint/resume (runtime/checkpoint.py) ----
 

@@ -45,6 +45,30 @@ class StationStats:
             self.wideband_samples / self.wall_seconds
 
 
+def account_framer_events(stats: StationStats, data_rate: int, evs,
+                          dispatcher=None) -> None:
+    """Per-event bookkeeping shared by Station and FusedStation: P
+    channels count SU CRCs and dispatch good SUs; the 8400 C channel
+    counts signalling SU CRCs (voice frames go via on_voice sinks)."""
+    for ev in evs:
+        stats.frames += 1
+        if data_rate == 8400:
+            for _su, ok, _name in ev.signalling:
+                if ok:
+                    stats.su_ok += 1
+                else:
+                    stats.su_bad += 1
+        else:
+            for k, ok in enumerate(ev.su_crc_ok):
+                if ok:
+                    stats.su_ok += 1
+                    if dispatcher is not None:
+                        dispatcher.dispatch(
+                            ev.infofield[k * 12:(k + 1) * 12])
+                else:
+                    stats.su_bad += 1
+
+
 class Station:
     """Host driver for the full chain."""
 
@@ -164,25 +188,10 @@ class Station:
                 out = bank.process_block(blocks)
                 soft = np.asarray(out["soft_bits"])
                 for row, t in enumerate(topics):
-                    evs = self.framers[t].feed(soft[row].astype(np.float32))
-                    if key[1] == 8400:
-                        for ev in evs:
-                            self.stats.frames += 1
-                            for su, ok, _name in ev.signalling:
-                                if ok:
-                                    self.stats.su_ok += 1
-                                else:
-                                    self.stats.su_bad += 1
-                        continue
-                    for ev in evs:
-                        self.stats.frames += 1
-                        for k, ok in enumerate(ev.su_crc_ok):
-                            if ok:
-                                self.stats.su_ok += 1
-                                self.dispatchers[t].dispatch(
-                                    ev.infofield[k * 12:(k + 1) * 12])
-                            else:
-                                self.stats.su_bad += 1
+                    account_framer_events(
+                        self.stats, key[1],
+                        self.framers[t].feed(soft[row].astype(np.float32)),
+                        self.dispatchers.get(t))
 
         self.stats.wideband_samples += len(iq_block)
         self.stats.wall_seconds += time.perf_counter() - t0

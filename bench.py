@@ -45,10 +45,6 @@ def _fmt(m, scale=1e6):
             f"(spread {m['spread_pct']:.0f}%)")
 
 
-def _best_rate(run_batch, work_per_batch, repeats=7):
-    return _measure(run_batch, work_per_batch, repeats)
-
-
 def bench_full_chain(B=50, n_iter=10):
     import jax
     import jax.numpy as jnp

@@ -92,3 +92,33 @@ def test_decoder_wires_async_queue():
     assert d.fwd_queue.flush(5.0)
     d.close()
     assert d.fwd_queue is None
+
+
+def test_poison_item_does_not_kill_egress():
+    """One item whose send raises must not terminate the worker thread:
+    later items still go out and the failure is counted."""
+    class _Flaky:
+        def __init__(self):
+            self.spec = parse_forwarder("jsondump=tcp://127.0.0.1:9")
+            self.sent = []
+
+        def send(self, line):
+            if "POISON" in line:
+                raise TypeError("unserializable payload")
+            self.sent.append(line)
+            return True
+
+        def close(self):
+            pass
+
+    t = _Flaky()
+    q = AsyncForwardQueue([t], maxsize=16)
+    q.submit("ST", False, _item("BEFORE"))
+    q.submit("ST", False, _item("POISON"))
+    q.submit("ST", False, _item("AFTER"))
+    assert q.flush(10.0)
+    assert q.errors == 1
+    assert any("BEFORE" in s for s in t.sent)
+    assert any("AFTER" in s for s in t.sent)
+    assert q.sent == 2
+    q.close()

@@ -35,18 +35,25 @@ def capture_stream(device: str, rate: int, chunk_frames: int):
     CLI can report exactly what is missing (this harness environment has
     no audio stack; on a workstation any of the three will be present).
     """
+    stream = None
     try:
         import sounddevice  # noqa: PLC0415
 
-        with sounddevice.RawInputStream(
-                samplerate=rate, channels=1, dtype="int16",
-                device=None if device in ("", "default") else device,
-                blocksize=chunk_frames) as stream:
+        # any failure to OPEN the stream (module present but PortAudio
+        # has no usable device, bad device name, ...) falls back to the
+        # subprocess backends; errors after capture starts propagate
+        stream = sounddevice.RawInputStream(
+            samplerate=rate, channels=1, dtype="int16",
+            device=None if device in ("", "default") else device,
+            blocksize=chunk_frames)
+        stream.start()
+    except Exception:                              # noqa: BLE001
+        stream = None
+    if stream is not None:
+        with stream:
             while True:
                 data, _overflowed = stream.read(chunk_frames)
                 yield bytes(data)
-    except ImportError:
-        pass
 
     if shutil.which("arecord"):
         cmd = ["arecord", "-q", "-f", "S16_LE", "-c", "1", "-r", str(rate),
