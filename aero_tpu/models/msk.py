@@ -278,6 +278,11 @@ def msk_step(state: MskState, samples, cfg: MskConfig):
         out = jnp.where(both_neg, prev, jnp.where(both_pos, -prev, jnp.abs(prev)))
         return out, seq[-1]
 
+    # constellation strobe points, the reference's ScatterPoints GUI
+    # signal (mskdemodulator.h:122-135, emitted-but-unconnected there;
+    # unused consumers are dead-code-eliminated by XLA in fused paths)
+    scatter = jnp.stack([pt_re, pt_im], axis=-1)
+
     ob_im, diff_im = diffdecode(pt_im, state.diff_im)
     ob_re, diff_re = diffdecode(pt_re, state.diff_re)
     ob_re = -ob_re
@@ -339,6 +344,7 @@ def msk_step(state: MskState, samples, cfg: MskConfig):
         "ebno": ebno_db,
         "theta": theta,
         "grid": grid,
+        "scatter": scatter,
     }
     return new_state, out
 
@@ -358,6 +364,21 @@ class MskDemodulator:
             self.state, out = msk_step(self.state, samples[i:i + L], self.cfg)
             outs.append({k: np.asarray(v) for k, v in out.items()})
         return outs
+
+    def spectrum(self, nbins: int = 256):
+        """Smoothed fold-spectrum snapshot: (freqs_hz, dB) arrays — the
+        reference's Plottables/OrgOverlapedBuffer GUI feed (SURVEY.md §5;
+        emitted-but-headless there).  ``freqs_hz`` are signal offsets
+        relative to the current tune."""
+        import numpy as _np
+        from aero_tpu.models.coarse_freq import spectrum_snapshot
+        y = _np.asarray(spectrum_snapshot(self.state.coarse_y, nbins))
+        nfft = self.state.coarse_y.shape[-1]
+        step = nfft // nbins
+        hzperbin = self.cfg.fs / nfft
+        freqs = ((_np.arange(nbins) + 0.5) * step - nfft / 2) * hzperbin * 0.5
+        return freqs.astype(_np.float32), y
+
 
 
 # ---------------------------------------------------------------------------

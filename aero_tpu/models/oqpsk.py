@@ -251,6 +251,8 @@ def oqpsk_step(state: OqpskState, samples, cfg: OqpskConfig):
         "signal": locked,
         "ebno": ebno_db,
         "grid": grid,
+        # ScatterPoints analogue (see models/msk.py)
+        "scatter": jnp.stack([pt_i, pt_q], axis=-1),
     }
     return new_state, out
 
@@ -270,6 +272,21 @@ class OqpskDemodulator:
             self.state, out = oqpsk_step(self.state, samples[i:i + L], self.cfg)
             outs.append({k: np.asarray(v) for k, v in out.items()})
         return outs
+
+    def spectrum(self, nbins: int = 256):
+        """Smoothed fold-spectrum snapshot: (freqs_hz, dB) arrays — the
+        reference's Plottables/OrgOverlapedBuffer GUI feed (SURVEY.md §5;
+        emitted-but-headless there).  ``freqs_hz`` are signal offsets
+        relative to the current tune."""
+        import numpy as _np
+        from aero_tpu.models.coarse_freq import spectrum_snapshot
+        y = _np.asarray(spectrum_snapshot(self.state.coarse_y, nbins))
+        nfft = self.state.coarse_y.shape[-1]
+        step = nfft // nbins
+        hzperbin = self.cfg.fs / nfft
+        freqs = ((_np.arange(nbins) + 0.5) * step - nfft / 2) * hzperbin * 0.5
+        return freqs.astype(_np.float32), y
+
 
 
 # ---------------------------------------------------------------------------
