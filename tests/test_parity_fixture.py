@@ -23,17 +23,25 @@ def _fixtures():
     return out
 
 
+def _rate_of(path):
+    """Bitrate from a fixture name like foo_10500.wav (default 1200)."""
+    import re
+    m = re.search(r"_(600|1200|8400|10500)\.", os.path.basename(path))
+    return int(m.group(1)) if m else 1200
+
+
 def _run_parity(capture, expected):
     from tools.parity_check import decode_capture, parity
     ini = os.path.splitext(capture)[0] + ".ini"
-    ours = decode_capture(capture, bitrate=1200,
+    ours = decode_capture(capture, bitrate=_rate_of(capture),
                           ini=ini if os.path.exists(ini) else None)
     return parity(ours, expected)
 
 
-def test_synthetic_fixture_full_parity():
-    cap = os.path.join(FIXDIR, "synthetic_1200.wav")
-    exp = os.path.join(FIXDIR, "synthetic_1200.expected.jsonl")
+@pytest.mark.parametrize("rate", [1200, 10500])
+def test_synthetic_fixture_full_parity(rate):
+    cap = os.path.join(FIXDIR, f"synthetic_{rate}.wav")
+    exp = os.path.join(FIXDIR, f"synthetic_{rate}.expected.jsonl")
     assert os.path.exists(cap), "run tools/make_fixture.py"
     rep = _run_parity(cap, exp)
     assert rep["parity_pct"] == 100.0, rep
@@ -42,7 +50,7 @@ def test_synthetic_fixture_full_parity():
 
 @pytest.mark.parametrize("capture,expected", [
     pytest.param(c, e, id=os.path.basename(c)) for c, e in _fixtures()
-    if "synthetic_1200" not in c
+    if "synthetic_" not in c
 ] or [pytest.param(None, None, id="no-real-captures",
                    marks=pytest.mark.skip(
                        reason="no real capture fixtures present — drop "

@@ -33,39 +33,50 @@ MESSAGES = [
 ]
 
 
-def make(outdir: str, name: str = "synthetic_1200") -> tuple[str, str]:
+def make(outdir: str, name: str | None = None,
+         rate: int = 1200) -> tuple[str, str]:
     from aero_tpu.models.msk import msk_modulate
-    from aero_tpu.protocol.framing import build_p_frames
+    from aero_tpu.models.oqpsk import oqpsk_modulate
+    from aero_tpu.protocol.framing import build_p_frames, FRAME_SPECS
     from aero_tpu.protocol.crc import append_crc16_bytes
     from aero_tpu.protocol.isu import make_acars_userdata, segment_isu
     from aero_tpu.io.output import to_output_format
     from aero_tpu.runtime.decoder import Decoder, DecoderOptions
 
+    name = name or f"synthetic_{rate}"
+    fs = {600: 12000, 1200: 24000}.get(rate, 48000)
+    per = FRAME_SPECS[rate].payload_info_bits // 96      # SUs per infofield
     fill = append_crc16_bytes(bytes([0x01] + [0] * 9))
     fields = []
+    sus = []
     for aes, reg, label, text in MESSAGES:
         ud = make_acars_userdata("2", reg, "!", label, "A", text)
-        sus = [append_crc16_bytes(b) for b in segment_isu(ud, aes, 0x41)]
-        while len(sus) % 6:
-            sus.append(fill)
-        fields += [b"".join(sus[i:i + 6]) for i in range(0, len(sus), 6)]
-    bits = build_p_frames(fields, 1200, lead_frames=3)
-    audio = msk_modulate(bits, 24000, 1200.0, freq=1000.0)
+        sus += [append_crc16_bytes(b) for b in segment_isu(ud, aes, 0x41)]
+    while len(sus) % per:
+        sus.append(fill)
+    fields = [b"".join(sus[i:i + per]) for i in range(0, len(sus), per)]
+    bits = build_p_frames(fields, rate, lead_frames=3)
+    if rate in (600, 1200):
+        audio = msk_modulate(bits, fs, float(rate), freq=1000.0)
+    else:
+        audio = oqpsk_modulate(bits, fs, float(rate), freq=8000.0,
+                               amplitude=0.4)
     rng = np.random.default_rng(0)
     audio = audio + rng.normal(0, 0.01, len(audio)).astype(np.float32)
+    audio = np.concatenate([audio, np.zeros(2 * fs, np.float32)])
 
     os.makedirs(outdir, exist_ok=True)
     wav_path = os.path.join(outdir, f"{name}.wav")
     with wave.open(wav_path, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
-        w.setframerate(24000)
+        w.setframerate(fs)
         w.writeframes((np.clip(audio, -1, 1) * 32767).astype("<i2")
                       .tobytes())
 
     import contextlib
     import io as _io
-    dec = Decoder(DecoderOptions(bitrate=1200, station_id="FIXTURE"))
+    dec = Decoder(DecoderOptions(bitrate=rate, station_id="FIXTURE"))
     with contextlib.redirect_stdout(_io.StringIO()):
         dec.run_file(wav_path)
     texts = {item.message for item in dec.items}
@@ -84,5 +95,7 @@ if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "tests", "fixtures")
-    wav, exp = make(out)
-    print(f"wrote {wav} and {exp}")
+    for rate in ([int(sys.argv[2])] if len(sys.argv) > 2
+                 else [1200, 10500]):
+        wav, exp = make(out, rate=rate)
+        print(f"wrote {wav} and {exp}")
