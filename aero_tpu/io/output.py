@@ -76,6 +76,10 @@ def to_output_format(fmt: str, station_id: str, disable_reassembly: bool,
             isu["qno"] = f"{item.isuitem.QNO:02X}"
             isu["src"] = aes if item.downlink else ges
             isu["dst"] = ges if item.downlink else aes
+            if item.dbinfo:
+                # aircraft-DB enrichment (schema: protocol/database.py;
+                # absent when no DB is configured — wire-compatible)
+                root["aircraft"] = item.dbinfo
             root["t"] = {"sec": int(t), "usec": int((t % 1) * 1e6) // 1000 * 1000}
             root["isu"] = isu
             root["station"] = station_id

@@ -28,12 +28,17 @@ class ParserISU:
 
     def __init__(self, on_acars: Callable | None = None,
                  on_fragment: Callable | None = None,
-                 on_error: Callable | None = None):
+                 on_error: Callable | None = None,
+                 db=None):
         self.downlink = False
         self.defrag = ACARSDefragmenter()
         self.on_acars = on_acars or (lambda item: None)
         self.on_fragment = on_fragment or (lambda item: None)
         self.on_error = on_error or (lambda msg: None)
+        # aircraft-registration lookup before final emission
+        # (ref aerol.cpp:460-524 dbtu->request -> acarslookupresult;
+        # stubbed there, a working CSV impl here — protocol/database.py)
+        self.db = db
 
     def parse(self, isuitem: ISUItem) -> bool:
         if isuitem.AESID == 0:
@@ -93,6 +98,11 @@ class ParserISU:
         self.on_fragment(item)
         if self.defrag.defragment(item):
             item.PLANEREG = _strip_dots(item.PLANEREG)
+            if self.db is not None:
+                from aero_tpu.protocol.database import DATABASE_SCHEMA
+                row = self.db.lookup(f"{isuitem.AESID:06X}")
+                if row:
+                    item.dbinfo = dict(zip(DATABASE_SCHEMA, row))
             self.on_acars(item)
         return True
 

@@ -25,13 +25,48 @@ class DataBaseTextUser:
         self._refcount = 0
         self._userdata = {}
 
+    def lookup(self, aes_hex: str) -> list | None:
+        """Synchronous form used by the parser; stub: never found."""
+        return None
+
     def request(self, dirname: str, aes_hex: str, userdata=None) -> int:
         self._refcount += 1
         ref = self._refcount
         self._userdata[ref] = userdata
-        # stub: immediately report not-found (ref: databasetext.cpp:42-61)
-        self.on_result(False, ref, [])
+        row = self.lookup(aes_hex)
+        self.on_result(row is not None, ref, row or [])
         return ref
 
     def get_userdata(self, ref: int):
         return self._userdata.pop(ref, None)
+
+
+class DataBaseCSVUser(DataBaseTextUser):
+    """Working lookup over a CSV keyed by ICAO24 hex — the capability the
+    reference cut out (its README TODO) restored as an opt-in.
+
+    CSV columns follow DATABASE_SCHEMA:
+        ICAO24,Registration,Manufacturer,ICAOTypeCode,Type,RegisteredOwners
+    (the common BaseStation.sqb CSV export shape).  A header line is
+    skipped automatically; short rows are padded with empty strings.
+    """
+
+    def __init__(self, path: str, on_result: Callable | None = None):
+        super().__init__(on_result)
+        import csv
+
+        self._rows: dict[str, list[str]] = {}
+        with open(path, newline="") as f:
+            for rec in csv.reader(f):
+                if not rec or rec[0].strip().upper() in ("", "ICAO24"):
+                    continue
+                key = rec[0].strip().upper().lstrip("0") or "0"
+                row = [c.strip() for c in rec[: len(DATABASE_SCHEMA)]]
+                row += [""] * (len(DATABASE_SCHEMA) - len(row))
+                self._rows[key] = row
+
+    def __len__(self) -> int:
+        return len(self._rows)
+
+    def lookup(self, aes_hex: str) -> list | None:
+        return self._rows.get(aes_hex.strip().upper().lstrip("0") or "0")

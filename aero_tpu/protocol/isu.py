@@ -237,6 +237,7 @@ class ACARSItem:
     moretocome: bool = False
     message: str = ""
     parsed: dict = field(default_factory=dict)
+    dbinfo: dict = field(default_factory=dict)   # aircraft DB row, if found
 
 
 class ACARSDefragmenter:

@@ -66,12 +66,13 @@ class RTChannelFramer:
                  on_acars: Callable | None = None,
                  on_fragment: Callable | None = None,
                  on_error: Callable | None = None,
-                 uw_tolerance: int = 4):
+                 uw_tolerance: int = 4,
+                 db=None):
         self.oqpsk = oqpsk
         self.uw_tolerance = uw_tolerance
         self.risudata = RISUData()
         self.isudata = ISUData()
-        self.parser = ParserISU(on_acars, on_fragment, on_error)
+        self.parser = ParserISU(on_acars, on_fragment, on_error, db=db)
         self.parser.downlink = True
         self._reset_burst()
         self.events: list[RTPacketEvent] = []

@@ -91,9 +91,10 @@ class PChannelSUDispatcher:
                  on_error: Callable | None = None,
                  on_c_assignment: Callable | None = None,
                  downlink: bool = False,
-                 do_not_display: tuple = ()):
+                 do_not_display: tuple = (),
+                 db=None):
         self.isudata = ISUData()
-        self.parser = ParserISU(on_acars, on_fragment, on_error)
+        self.parser = ParserISU(on_acars, on_fragment, on_error, db=db)
         self.parser.downlink = downlink
         self.on_c_assignment = on_c_assignment or (lambda item: None)
         self.do_not_display = set(do_not_display)

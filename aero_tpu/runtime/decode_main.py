@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="decode a WAV/raw-PCM file instead of ZMQ")
     p.add_argument("--input-rate", type=int, default=None,
                    help="sample rate for raw input files")
+    p.add_argument("--aircraft-db", default=None, metavar="CSV",
+                   help="aircraft registration DB CSV "
+                        "(ICAO24,Registration,... — protocol/database.py)")
     p.add_argument("--voice-out", default=None,
                    help="write C-channel voice codec frames to this file")
     p.add_argument("--platform", default="cpu",
@@ -67,6 +70,7 @@ def main(argv=None) -> int:
         disable_reassembly=args.disable_reassembly,
         no_signal_exit=args.no_signal_exit,
         voice_out=args.voice_out,
+        aircraft_db=args.aircraft_db,
         verbose=args.verbose,
     )
     dec = Decoder(opts)

@@ -47,6 +47,7 @@ class DecoderOptions:
     no_signal_exit: bool = False
     voice_out: str | None = None
     verbose: int = 0
+    aircraft_db: str | None = None     # CSV path (protocol/database.py)
 
 
 class Decoder:
@@ -102,13 +103,18 @@ class Decoder:
         self.framer = None
         self.rt_framer = None
         self.c_framer = None
+        db = None
+        if opts.aircraft_db:
+            from aero_tpu.protocol.database import DataBaseCSVUser
+            db = DataBaseCSVUser(opts.aircraft_db)
         if opts.burst:
             from aero_tpu.protocol.rt_framing import RTChannelFramer
             self.rt_framer = RTChannelFramer(
                 oqpsk=opts.bitrate > 1200,
                 on_acars=self.handle_acars,
                 on_fragment=self._handle_fragment,
-                on_error=self._handle_error)
+                on_error=self._handle_error,
+                db=db)
         elif opts.bitrate == 8400:
             from aero_tpu.protocol.c_framing import CChannelFramer
             self.c_framer = CChannelFramer(on_voice=self._handle_voice)
@@ -118,7 +124,8 @@ class Decoder:
                 on_acars=self.handle_acars,
                 on_fragment=self._handle_fragment,
                 on_error=self._handle_error,
-                downlink=False)
+                downlink=False,
+                db=db)
 
     # ---- control ----
 

@@ -89,7 +89,7 @@ class FusedStation:
                  gain: float = 10.0, pipeline: bool = True,
                  pipeline_depth: int = 2, blocks_per_step: int = 1,
                  base_block: int = 16000, hunt: bool = True,
-                 hunt_max_tries: int = 6):
+                 hunt_max_tries: int = 6, aircraft_db=None):
         assert not cfg.mains, "FusedStation serves sub-VFO banks only"
         self.cfg = cfg
         self.fs = cfg.sample_rate
@@ -98,6 +98,10 @@ class FusedStation:
         self.on_voice = on_voice or (lambda vfo, data, hex_aes: None)
         self.stats = StationStats()
         self.ingest_dtype = ingest_dtype
+        if isinstance(aircraft_db, str):
+            from aero_tpu.protocol.database import DataBaseCSVUser
+            aircraft_db = DataBaseCSVUser(aircraft_db)
+        self._db = aircraft_db
         self.hunt = hunt
         self.hunt_max_tries = int(hunt_max_tries)
         # "int4": both arms packed into ONE uint8/sample (re in the high
@@ -177,7 +181,8 @@ class FusedStation:
                         self.burst_demods[t] = BurstMskDemodulator(
                             float(out_rate), float(rate))
                     self.rt_framers[t] = RTChannelFramer(
-                        oqpsk=rate > 1200, on_acars=self._mk_sink(t))
+                        oqpsk=rate > 1200, on_acars=self._mk_sink(t),
+                        db=self._db)
                 continue
 
             mod = _msk if rate in (600, 1200) else _oq
@@ -202,7 +207,7 @@ class FusedStation:
                 else:
                     self.framers[t] = PChannelFramer(rate)
                     self.dispatchers[t] = PChannelSUDispatcher(
-                        on_acars=self._mk_sink(t))
+                        on_acars=self._mk_sink(t), db=self._db)
 
         self._gain = gain
         # output packing: the step returns ONE uint8 buffer per block

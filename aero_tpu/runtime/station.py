@@ -74,10 +74,14 @@ class Station:
 
     def __init__(self, cfg: ChannelizerConfig, on_acars=None, mesh=None,
                  station_id: str = "AERO-TPU", backend: str = "tree",
-                 on_voice=None):
+                 on_voice=None, aircraft_db=None):
         self.cfg = cfg
         self.station_id = station_id
         self.on_voice = on_voice or (lambda vfo, data, hex_aes: None)
+        if isinstance(aircraft_db, str):
+            from aero_tpu.protocol.database import DataBaseCSVUser
+            aircraft_db = DataBaseCSVUser(aircraft_db)
+        self._db = aircraft_db
         if backend == "pfb":
             from aero_tpu.channelizer.pfb import PfbChannelizer
             self.channelizer = PfbChannelizer(cfg)
@@ -120,7 +124,7 @@ class Station:
                 else:
                     self.framers[topic] = PChannelFramer(data_rate)
                     self.dispatchers[topic] = PChannelSUDispatcher(
-                        on_acars=self._mk_sink(topic))
+                        on_acars=self._mk_sink(topic), db=self._db)
                 self._audio_buf[topic] = np.zeros(0, np.float32)
 
         # burst (R/T) VFOs: per-VFO window demodulators + RT framers
@@ -141,7 +145,7 @@ class Station:
             self.burst_demods[s.topic] = demod
             self.rt_framers[s.topic] = RTChannelFramer(
                 oqpsk=s.data_rate > 1200,
-                on_acars=self._mk_sink(s.topic))
+                on_acars=self._mk_sink(s.topic), db=self._db)
 
     def _mk_sink(self, topic):
         def sink(item):

@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="JAX platform override (e.g. cpu)")
     p.add_argument("--stats-every", type=float, default=10.0,
                    help="seconds between stats lines on stderr")
+    p.add_argument("--aircraft-db", default=None, metavar="CSV",
+                   help="aircraft registration DB CSV "
+                        "(ICAO24,Registration,... — protocol/database.py)")
     p.add_argument("--voice-out", default=None, metavar="FILE",
                    help="append C-channel voice codec frames (300 B per "
                         "frame, as decoded) to this file")
@@ -94,11 +97,13 @@ def main(argv=None) -> int:
         from aero_tpu.runtime.fused_station import FusedStation
         st = FusedStation(cfg, on_acars=on_acars, on_voice=on_voice,
                           station_id=args.station_id,
-                          ingest_dtype=args.ingest_dtype)
+                          ingest_dtype=args.ingest_dtype,
+                          aircraft_db=args.aircraft_db)
         B = st.block_len
     else:
         st = Station(cfg, on_acars=on_acars, on_voice=on_voice,
-                     station_id=args.station_id, backend=args.backend)
+                     station_id=args.station_id, backend=args.backend,
+                     aircraft_db=args.aircraft_db)
         B = cfg.buflen_complex
     last_stats = time.time()
 
