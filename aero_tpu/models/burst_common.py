@@ -90,11 +90,12 @@ class BurstWindowDemodulator:
         outs = []
 
         # detection statistics run over a zero-padded copy bucketed to a
-        # 4096 multiple: the ring length changes after every consumed
+        # 16384 multiple: the ring length changes after every consumed
         # burst, and jitting _envelope/_autocorr_rho per distinct length
-        # would retrace+recompile FFT graphs on the decode path
+        # would retrace+recompile FFT graphs on the decode path; the
+        # coarse bucket keeps the steady-state shape set to a handful
         n_ring = len(self._ring)
-        n_pad = max(4096, -(-n_ring // 4096) * 4096)
+        n_pad = max(16384, -(-n_ring // 16384) * 16384)
         padded = np.zeros(n_pad, np.float32)
         padded[:n_ring] = self._ring
         env = np.asarray(_envelope(padded, self._smooth_len()))[:n_ring]

@@ -140,3 +140,37 @@ def _run_oqpsk_burst_chain(snr_db, seed, n_bursts=3):
 def test_burst_oqpsk_snr_sweep(snr_db, min_ok):
     assert _run_oqpsk_burst_chain(
         snr_db, seed=abs(int(10 * snr_db)) + 3) >= min_ok
+
+
+def test_irregular_stream_bounded_compile_cache():
+    """Long streaming run with irregular burst spacing: every burst
+    decodes AND the detection jit caches stay bounded — the ring length
+    varies per consumed burst, and without shape bucketing each new
+    length retraced+recompiled the FFT graphs on the decode path."""
+    from aero_tpu.models.burst_common import _autocorr_rho
+    from aero_tpu.models.burst_msk import _envelope
+
+    fs, fb = 12000.0, 600.0
+    rng = np.random.default_rng(0)
+    burst = msk_modulate(build_r_burst(_r_info(), preamble_bits=96),
+                         fs, fb, freq=2600.0, amplitude=0.3)
+    parts = [np.zeros(17000, np.float32)]
+    for g in (23017, 41003, 19777, 35555, 28881, 51111, 22222, 30303):
+        parts += [burst, np.zeros(g, np.float32)]
+    sig = np.concatenate(parts)
+    p = np.mean(burst ** 2)
+    sig = sig + rng.normal(0, np.sqrt(p / 10 ** 0.6),
+                           len(sig)).astype(np.float32)
+
+    dm = BurstMskDemodulator(fs, fb)
+    fr = RTChannelFramer()
+    n = 0
+    for i in range(0, (len(sig) // 16000) * 16000, 16000):
+        for o in dm.process(sig[i:i + 16000]):
+            if o["burst"]:
+                n += len(fr.feed(o["soft_bits"]))
+    assert n >= 7
+    # caches may hold entries from other tests in the session; the
+    # bucketing bounds the number of distinct shapes regardless
+    assert _autocorr_rho._cache_size() <= 8
+    assert _envelope._cache_size() <= 10
