@@ -83,7 +83,70 @@ def main(argv=None) -> int:
     print(f"MH-SELFTEST-{'OK' if ok else 'FAIL'} proc={args.process_id} "
           f"procs={args.num_processes} devices={len(devs)} "
           f"samples={total} max_err={err:.2e}", flush=True)
-    return 0 if ok else 1
+
+    # ---- stage 2: VFO-sharded demod bank across processes ----
+    # The framework's primary scaling axis (SURVEY.md §2.5): one MSK
+    # demod bank whose VFO rows live on different HOSTS, stepped as one
+    # jit program over the global mesh, verified against an unsharded
+    # per-row local reference.
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from aero_tpu.models.msk import (make_config, msk_init, msk_step,
+                                     msk_modulate)
+
+    vmesh = Mesh(devs, ("vfo",))
+    B = len(devs)
+    b_local = n_local
+    cfg = make_config(24000.0, 1200.0, block_len=4800, nfft=4096,
+                      fine_step_hz=1.0)
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, 700).astype(np.uint8)
+    one = msk_modulate(bits, 24000.0, 1200.0)[: 2 * cfg.block_len]
+    amps = (0.5 + 0.05 * np.arange(B)).astype(np.float32)
+    lo = args.process_id * b_local
+    local_rows = amps[lo: lo + b_local, None] * one[None, :]
+
+    def to_global(local_leaf):
+        a = np.asarray(local_leaf)
+        return multihost_utils.host_local_array_to_global_array(
+            a, vmesh, P("vfo", *([None] * (a.ndim - 1))))
+
+    states = jax.tree.map(to_global,
+                          jax.vmap(lambda _: msk_init(cfg))(
+                              jnp.arange(b_local)))
+
+    @jax.jit
+    def bank_step(states, samples):
+        return jax.vmap(lambda s, x: msk_step(s, x, cfg))(states, samples)
+
+    softs = []
+    for blk in range(2):
+        x = to_global(local_rows[:, blk * cfg.block_len:
+                                 (blk + 1) * cfg.block_len])
+        states, out = bank_step(states, x)
+        softs.append(gather_to_hosts(out["soft_bits"]))
+    got = np.concatenate(softs, axis=-1)          # [B, bits]
+
+    # unsharded per-row local reference
+    ref_rows = []
+    for r in range(B):
+        st = msk_init(cfg)
+        row = []
+        for blk in range(2):
+            st, out = msk_step(st, amps[r] * one[blk * cfg.block_len:
+                                                 (blk + 1) * cfg.block_len],
+                               cfg)
+            row.append(np.asarray(out["soft_bits"]))
+        ref_rows.append(np.concatenate(row))
+    ref2 = np.stack(ref_rows)
+    # float reassociation under vmap/sharding can flip a rounded soft
+    # byte by 1 at quantization boundaries — demand near-exactness
+    close = np.abs(got.astype(int) - ref2.astype(int)) <= 1
+    ok2 = bool(close.mean() > 0.999)
+    print(f"MH-VFOBANK-{'OK' if ok2 else 'FAIL'} proc={args.process_id} "
+          f"rows={B} match={100.0 * close.mean():.2f}%", flush=True)
+    return 0 if (ok and ok2) else 1
 
 
 if __name__ == "__main__":

@@ -51,4 +51,5 @@ def test_two_process_halo_exchange():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert f"MH-SELFTEST-OK proc={i}" in out, out[-3000:]
+        assert f"MH-VFOBANK-OK proc={i}" in out, out[-3000:]
         assert "devices=8" in out
