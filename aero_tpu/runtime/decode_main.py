@@ -51,6 +51,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "single-VFO decoder is host-scale work — the TPU "
                         "path is the batched VFO bank, aero_tpu.parallel)")
     p.add_argument("-v", "--verbose", action="count", default=0)
+    p.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation cache dir (fast restarts)")
     return p
 
 
@@ -59,6 +61,12 @@ def main(argv=None) -> int:
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    if args.compile_cache:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          args.compile_cache)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.5)
     from aero_tpu.runtime.decoder import Decoder, DecoderOptions
 
     opts = DecoderOptions(

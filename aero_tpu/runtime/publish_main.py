@@ -40,6 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", default=None,
                    help="JAX platform override (e.g. cpu, tpu)")
     p.add_argument("-v", "--verbose", action="count", default=0)
+    p.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation cache dir (fast restarts)")
     return p
 
 
@@ -48,6 +50,12 @@ def main(argv=None) -> int:
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    if args.compile_cache:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          args.compile_cache)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.5)
     from aero_tpu.channelizer import load_ini, Channelizer
     from aero_tpu.io.zmq_transport import ZmqPublisher
 
