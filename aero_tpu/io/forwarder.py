@@ -49,6 +49,7 @@ class ForwardTarget:
     def __init__(self, spec: ForwardSpec):
         self.spec = spec
         self.sock: socket.socket | None = None
+        self.closed = False
 
     def _connect(self):
         infos = socket.getaddrinfo(
@@ -65,6 +66,8 @@ class ForwardTarget:
         """Send one newline-terminated frame; reconnect and retry once
         (ref: forwarder.cpp:109-134)."""
         data = (line + "\n").encode()
+        if self.closed:
+            return False
         for attempt in range(2):
             try:
                 if self.sock is None:
@@ -81,6 +84,9 @@ class ForwardTarget:
         return False
 
     def close(self):
+        # permanent: send() stops reconnecting, so a worker thread still
+        # draining cannot reopen the socket after shutdown
+        self.closed = True
         if self.sock:
             try:
                 self.sock.close()
@@ -156,12 +162,11 @@ class AsyncForwardQueue:
             self._stop = True
             self._cv.notify()
         self._thread.join(timeout)
-        # only tear the sockets down once the worker has actually
-        # stopped: closing under a still-sending worker makes its
-        # reconnect-retry reopen them after "shutdown"
-        if not self._thread.is_alive():
-            for t in self.targets:
-                t.close()
+        # targets close even if the worker outlives the join timeout:
+        # ForwardTarget.close() latches `closed`, so a still-draining
+        # worker cannot reconnect/reopen after shutdown
+        for t in self.targets:
+            t.close()
 
     def __len__(self):
         return len(self._q)

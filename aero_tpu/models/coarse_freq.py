@@ -91,3 +91,17 @@ def spectrum_snapshot(y_state, nbins: int = 256):
     step = nfft // nbins
     return jnp.max(y_state[..., : nbins * step].reshape(
         y_state.shape[:-1] + (nbins, step)), axis=-1)
+
+
+def spectrum_display(coarse_y, fs: float, nbins: int = 256):
+    """(freqs_hz, dB) display arrays from the smoothed fold-spectrum
+    carry: frequencies are SIGNAL offsets relative to the current tune
+    (the squared-signal axis halved).  Shared by the host demod
+    wrappers' ``spectrum()`` (Plottables analogue, SURVEY.md §5)."""
+    import numpy as _np
+    y = _np.asarray(spectrum_snapshot(coarse_y, nbins))
+    nfft = coarse_y.shape[-1]
+    step = nfft // nbins
+    hzperbin = fs / nfft
+    freqs = ((_np.arange(nbins) + 0.5) * step - nfft / 2) * hzperbin * 0.5
+    return freqs.astype(_np.float32), y

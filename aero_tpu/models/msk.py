@@ -366,18 +366,10 @@ class MskDemodulator:
         return outs
 
     def spectrum(self, nbins: int = 256):
-        """Smoothed fold-spectrum snapshot: (freqs_hz, dB) arrays — the
-        reference's Plottables/OrgOverlapedBuffer GUI feed (SURVEY.md §5;
-        emitted-but-headless there).  ``freqs_hz`` are signal offsets
-        relative to the current tune."""
-        import numpy as _np
-        from aero_tpu.models.coarse_freq import spectrum_snapshot
-        y = _np.asarray(spectrum_snapshot(self.state.coarse_y, nbins))
-        nfft = self.state.coarse_y.shape[-1]
-        step = nfft // nbins
-        hzperbin = self.cfg.fs / nfft
-        freqs = ((_np.arange(nbins) + 0.5) * step - nfft / 2) * hzperbin * 0.5
-        return freqs.astype(_np.float32), y
+        """Smoothed fold-spectrum snapshot: (freqs_hz, dB) — the
+        reference's Plottables GUI feed (SURVEY.md §5)."""
+        from aero_tpu.models.coarse_freq import spectrum_display
+        return spectrum_display(self.state.coarse_y, self.cfg.fs, nbins)
 
 
 

@@ -51,11 +51,8 @@ def main(argv=None) -> int:
         import jax
         jax.config.update("jax_platforms", args.platform)
     if args.compile_cache:
-        import jax
-        jax.config.update("jax_compilation_cache_dir",
-                          args.compile_cache)
-        jax.config.update(
-            "jax_persistent_cache_min_compile_time_secs", 0.5)
+        from aero_tpu.utils.profiling import enable_compile_cache
+        enable_compile_cache(args.compile_cache)
     from aero_tpu.channelizer import load_ini, Channelizer
     from aero_tpu.io.zmq_transport import ZmqPublisher
 

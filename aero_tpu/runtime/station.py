@@ -96,6 +96,11 @@ class Station:
         self.burst_vfos = []
         for i, s in enumerate(cfg.subs):
             if getattr(s, "burst", False):
+                if s.data_rate not in (600, 1200, 10500):
+                    raise ValueError(
+                        f"burst VFO {s.topic!r}: data_rate {s.data_rate} "
+                        "not supported (R/T channels are 600/1200 MSK or "
+                        "10500 OQPSK; ref decode/aerol.h:548-850)")
                 self.burst_vfos.append(i)
             elif s.data_rate in (600, 1200, 8400, 10500):
                 self.groups[(s.out_rate, s.data_rate)].append(i)

@@ -64,8 +64,8 @@ def main(argv=None) -> int:
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     if args.compile_cache:
-        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        from aero_tpu.utils.profiling import enable_compile_cache
+        enable_compile_cache(args.compile_cache)
     from aero_tpu.channelizer import load_ini
     from aero_tpu.runtime.station import Station
     from aero_tpu.io.output import to_output_format
@@ -173,6 +173,7 @@ def main(argv=None) -> int:
         fwd.close()
         final["forwarded"] = fwd.sent
         final["forward_dropped"] = fwd.dropped
+        final["forward_errors"] = fwd.errors
     if voice_f is not None:
         final["voice_frames"] = s.voice_frames
         voice_f.close()

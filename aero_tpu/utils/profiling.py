@@ -42,3 +42,12 @@ class RateMeter:
     @property
     def realtime_factor(self) -> float:
         return self.samples_per_s / self.sample_rate
+
+
+def enable_compile_cache(path: str, min_compile_secs: float = 0.5) -> None:
+    """Persistent XLA compilation cache: restarts skip the first-compile
+    cost.  One place for the policy; all three CLIs call this."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_secs)

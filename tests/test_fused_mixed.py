@@ -208,3 +208,7 @@ def test_classic_station_8400_c_channel():
     bad = load_ini(ini.replace("8400", "4800"), is_text=True)
     with pytest.raises(ValueError, match="unsupported data_rate"):
         Station(bad)
+    # and burst VFOs validate their rate too (R/T has no 8400 mode)
+    bad_burst = load_ini(ini + "1\\burst=1\n", is_text=True)
+    with pytest.raises(ValueError, match="burst VFO"):
+        Station(bad_burst)

@@ -213,7 +213,7 @@ def test_station_cli_sigterm_clean_exit(tmp_path):
 
     ini = tmp_path / "st.ini"
     ini.write_text("sample_rate=288000\ncenter_frequency=1545100000\n"
-                   "[vfos]\nsize=1\n1\\vfo_frequency=1545100000\n"
+                   "[vfos]\nsize=1\n1\\frequency=1545100000\n"
                    "1\\data_rate=1200\n1\\topic=VFO1\n")
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     proc = subprocess.Popen(
@@ -284,7 +284,7 @@ def test_station_cli_compile_cache_and_async_forwarder(tmp_path):
 
     ini = tmp_path / "st.ini"
     ini.write_text("sample_rate=288000\ncenter_frequency=1545100000\n"
-                   "[vfos]\nsize=1\n1\\vfo_frequency=1545100000\n"
+                   "[vfos]\nsize=1\n1\\frequency=1545100000\n"
                    "1\\data_rate=1200\n1\\topic=VFO1\n")
     cache = tmp_path / "xla-cache"
     iq = tmp_path / "z.cf32"
