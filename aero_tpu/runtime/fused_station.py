@@ -596,6 +596,23 @@ class FusedStation:
         from aero_tpu.runtime.checkpoint import load_station_checkpoint
         load_station_checkpoint(self, path)
 
+    def vfo_spectrum(self, topic: str, nbins: int = 256):
+        """(freqs_hz, dB) fold-spectrum snapshot for one continuous VFO,
+        fetched on demand from the device-resident demod state (the
+        Plottables analogue at station scale; burst VFOs have no
+        coarse-spectrum carry — returns None for them)."""
+        from aero_tpu.models.coarse_freq import spectrum_display
+        from aero_tpu.ops.compat import tree_unpack
+        for key in self._order:
+            if key[2] or topic not in self.topics[key]:
+                continue
+            row = self.topics[key].index(topic)
+            st = tree_unpack(self._state["grp"][key]["demod"])
+            _, dcfg = self._group_cfg[key]
+            coarse = np.asarray(st.coarse_y[row])
+            return spectrum_display(coarse, dcfg.fs, nbins)
+        return None
+
     def vfo_telemetry(self):
         """Last drained block's per-VFO (signal, mse, ebno, freq) by topic
         (burst VFOs report zeros — their detection state lives in the host
