@@ -37,6 +37,29 @@ _HB = HALFBAND_TAPS[11].astype(np.float32)   # vfo.init uses 11 taps (vfo.cpp:10
 _HILBERT_NTAPS = 125                          # vfo.cpp:112
 
 
+def dc_correct_python(iq: np.ndarray, alpha: float,
+                      state: np.ndarray) -> np.ndarray:
+    """Exact one-pole DC tracker, vectorized (scipy lfilter).
+
+    Same recurrence as ``native.dc_correct_native`` / the reference
+    (publisher.cpp:292-296): ``dc += alpha*(x-dc); y = x-dc``, i.e.
+    ``dc[n] = alpha*x[n] + (1-alpha)*dc[n-1]`` with lfilter initial state
+    ``zi = (1-alpha)*dc_prev``.  ``state`` is the float32 [2] {re, im}
+    carry shared with the native path, updated in place.  Returns a new
+    complex64 array.
+    """
+    from scipy.signal import lfilter
+    d0 = complex(state[0], state[1])
+    dc, _ = lfilter(np.asarray([alpha], np.float32),
+                    np.asarray([1.0, -(1.0 - alpha)], np.float32),
+                    iq, zi=np.asarray([(1.0 - alpha) * d0], np.complex64))
+    out = (iq - dc).astype(np.complex64)
+    last = dc[-1] if len(dc) else d0
+    state[0] = np.float32(last.real)
+    state[1] = np.float32(last.imag)
+    return out
+
+
 def _chain_init(decim_count: int, usb: bool, late: int, ntaps_late: int,
                 ntaps_post: int):
     st = {
@@ -60,8 +83,7 @@ class Channelizer:
     def __init__(self, cfg: ChannelizerConfig):
         self.cfg = cfg
         self.fs = cfg.sample_rate
-        self._dc = 0.0 + 0.0j                      # block-approx carry
-        self._dc_state = np.zeros(2, np.float32)   # native per-sample carry
+        self._dc_state = np.zeros(2, np.float32)   # per-sample DC carry
 
         # ---- main VFO groups by decim_count ----
         self.main_groups = defaultdict(list)     # decim -> [main indices]
@@ -197,14 +219,10 @@ class Channelizer:
                 iq = iq.copy()
                 native.dc_correct_native(iq, alpha, self._dc_state)
             else:
-                # block approximation with the equivalent time constant;
-                # error vs the exact form is bounded by alpha * n * |x|max
-                # per block (tests/test_channelizer.py::test_dc_correction)
-                n = len(iq)
-                blk_mean = np.mean(iq)
-                self._dc = (self._dc * (1 - alpha) ** n
-                            + blk_mean * (1 - (1 - alpha) ** n))
-                iq = iq - self._dc
+                # exact same recurrence, vectorized via scipy — both paths
+                # produce the same stream up to float32 rounding, so decode
+                # output is host-environment independent (ADVICE r3)
+                iq = dc_correct_python(iq, alpha, self._dc_state)
 
         x2 = jnp.asarray(np.stack([iq.real, iq.imag]))   # float pair
         outputs = []

@@ -66,9 +66,12 @@ class ForwardTarget:
         """Send one newline-terminated frame; reconnect and retry once
         (ref: forwarder.cpp:109-134)."""
         data = (line + "\n").encode()
-        if self.closed:
-            return False
         for attempt in range(2):
+            # re-checked every attempt: close() may land while a send is in
+            # flight, and the retry path must not reopen a socket after
+            # shutdown (ADVICE r3)
+            if self.closed:
+                return False
             try:
                 if self.sock is None:
                     self._connect()
@@ -145,13 +148,18 @@ class AsyncForwardQueue:
             # one poison item (e.g. an unserializable parsed payload)
             # must not kill egress for the life of the process — the
             # reference's forwarder thread loops forever
-            # (decode.cpp:368-416)
-            try:
-                for t in self.targets:
-                    t.send(to_output_format(t.spec.fmt, sid, dis, item))
+            # (decode.cpp:368-416).  Format+send per target in its own
+            # try/except so one target's formatter exception can't
+            # suppress delivery to the others (ADVICE r3).
+            delivered = False
+            for t in self.targets:
+                try:
+                    if t.send(to_output_format(t.spec.fmt, sid, dis, item)):
+                        delivered = True
+                except Exception:                  # noqa: BLE001
+                    self.errors += 1
+            if delivered:
                 self.sent += 1
-            except Exception:                      # noqa: BLE001
-                self.errors += 1
 
     def flush(self, timeout: float | None = 10.0) -> bool:
         """Wait until the queue drains (or timeout).  Returns drained?"""

@@ -30,15 +30,22 @@ def _build_and_load(name: str, src_base: str, extra_flags=()):
     if name in _libs:
         return _libs[name]
     so = os.path.join(_DIR, name)
-    if not os.path.exists(so):
-        src = os.path.join(_DIR, src_base)
+    src = os.path.join(_DIR, src_base)
+    # Rebuild when missing OR stale (source edited after the .so was built) —
+    # a stale shared object would silently mask source changes.
+    stale = (not os.path.exists(so)
+             or (os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(so)))
+    if stale:
         try:
             subprocess.run(["g++", "-O3", *extra_flags, "-shared", "-fPIC",
                             "-o", so, src],
                            check=True, capture_output=True, timeout=120)
         except (OSError, subprocess.SubprocessError):
-            _libs[name] = None
-            return None
+            if not os.path.exists(so):
+                _libs[name] = None
+                return None
+            # Build failed but an older .so exists: fall back to it.
     try:
         _libs[name] = ctypes.CDLL(so)
     except OSError:

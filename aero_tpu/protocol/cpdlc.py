@@ -395,6 +395,11 @@ def decode_session(imi: str, payload: bytes) -> dict:
                     and all(a is None or all("A" <= c <= "Z" for c in a)
                             for a in airports)):
                 out.update(data)
+                # the CR1/CC1 UPER layout is a clean-room reconstruction;
+                # flag structurally-guessed fields so consumers can
+                # distinguish them from the always-correct payload_hex
+                # (ADVICE r3)
+                out["structural"] = True
                 return out
         except (EOFError, ValueError):
             pass

@@ -122,3 +122,57 @@ def test_poison_item_does_not_kill_egress():
     assert any("AFTER" in s for s in t.sent)
     assert q.sent == 2
     q.close()
+
+
+def test_one_failing_target_does_not_suppress_others():
+    """Per-target format/send isolation (ADVICE r3): an exception raised
+    while sending to one target must not prevent delivery to — or
+    accounting for — the other targets of the same item."""
+
+    class _Bad:
+        def __init__(self):
+            self.spec = parse_forwarder("text=tcp://127.0.0.1:9")
+
+        def send(self, line):
+            raise TypeError("formatter blew up for this target")
+
+        def close(self):
+            pass
+
+    class _Good:
+        def __init__(self):
+            self.spec = parse_forwarder("jsondump=tcp://127.0.0.1:9")
+            self.sent = []
+
+        def send(self, line):
+            self.sent.append(line)
+            return True
+
+        def close(self):
+            pass
+
+    bad, good = _Bad(), _Good()
+    q = AsyncForwardQueue([bad, good])
+    q.submit("ST", False, _item("MIXED TARGETS"))
+    assert q.flush(10.0)
+    assert q.errors == 1          # the bad target, exactly once
+    assert q.sent == 1            # the item still counts as delivered
+    assert any("MIXED TARGETS" in s for s in good.sent)
+    q.close()
+
+
+def test_close_latch_stops_inflight_retry():
+    """close() landing while send() is mid-retry must not reopen a socket
+    (ADVICE r3: re-check `closed` inside the retry loop)."""
+    t = ForwardTarget(parse_forwarder("jsondump=tcp://127.0.0.1:9"))
+    connects = []
+    orig = t._connect
+
+    def tracking_connect():
+        connects.append(1)
+        t.close()             # close lands between attempt 1 and attempt 2
+        raise OSError("refused")
+
+    t._connect = tracking_connect
+    assert t.send("hello") is False
+    assert len(connects) == 1     # attempt 2 saw closed and bailed
