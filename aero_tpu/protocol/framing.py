@@ -7,7 +7,8 @@ Frame layout (ref: decode/aerol.cpp:960-1039 setSettings, 1060-2038 Decode):
   1200   16 bits     1152 soft bits    32 bits           1200     1 s
   10500  16+178      4992 soft bits    64 bits (2x32)    5250     0.5 s
 
-- UW 0x3780831379 (32 bits, MSB first; aerol.cpp:918-919).  At 10500 the
+- UW 3780831379 decimal = 0xE15AE893 (32 bits, MSB first; aerol.cpp:918-919).
+  At 10500 the
   stream alternates imag/real OQPSK arms and each arm carries the same 32-bit
   UW, i.e. each UW bit appears twice in a row (aerol.cpp:1089-1152).
 - Payload: 64xN interleaved blocks (N=6/9/78) of a *continuous* K=7 r=1/2
@@ -34,7 +35,13 @@ from aero_tpu.protocol.interleaver import (deinterleave_indices,
                                            interleave_indices)
 from aero_tpu.protocol.viterbi import conv_encode, StreamingViterbi
 
-UW = 0x3780831379  # == 0xE15AE893, 32 bits
+# The reference writes the preamble as DECIMAL 3780831379 (ref:
+# aerol.cpp:918-919 "3780831379LL ... 0b11100001010110101110100010010011"),
+# i.e. 0xE15AE893 — NOT hex 0x3780831379.  Caught by the hand-built
+# frame-vector oracle (tests/test_frame_vectors.py::test_uw_literals);
+# before that fix TX and RX shared the wrong 0x80831379 pattern, so every
+# internal round trip passed while a real signal would never lock.
+UW = 3780831379  # decimal == 0xE15AE893, 32 bits
 UW_BITS = np.array([(UW >> i) & 1 for i in range(31, -1, -1)], dtype=np.uint8)
 
 

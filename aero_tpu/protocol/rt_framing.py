@@ -6,7 +6,7 @@ Behavioral equivalent of the reference's burst path: AeroL::Decode burstmode
 
 - a -1 marker in the soft stream marks start-of-burst (demodulator inserts
   it; ref burstmskdemodulator.cpp:503-505)
-- 32-bit UW 0x3780831379, phase-invariant with tolerance 4
+- 32-bit UW 3780831379 decimal = 0xE15AE893, phase-invariant with tolerance 4
   (ref: aerol.cpp:960-977 burst tolerances)
 - after the UW, soft bits accumulate into 64-bit rows; decode attempts run
   at checkpoints: MSK layout at 5/11/target/50 rows (aerol.h:630-634),

@@ -1,0 +1,435 @@
+"""Hand-built bit-level frame vectors for the P/R/T/C layouts.
+
+VERDICT r3 item 1: every ACARS round-trip test in this repo modulates with
+``build_p_frames``/``build_r_burst``/``build_t_burst``/``build_c_frames``
+and demodulates with this repo's framers, so a MIRRORED convention error
+(bit order within an SU, interleaver direction, scrambler start alignment,
+UW arm assignment) would pass all of them.  This file is the independent
+oracle: every helper below is hand-written directly from the reference's
+documented algorithms using DIFFERENT formulations than aero_tpu.protocol
+(tap-list convolutional encoder instead of register-mask parity, closed-form
+modular-inverse interleaver maps instead of permutation-array inversion,
+bitwise CRC loop instead of table-driven), plus frozen literals that tie the
+conventions to external ground truth:
+
+- CRC-16: the reference algorithm (ref: aerol.h:269-404) is CRC-16/X-25
+  (poly 0x1021 reflected = 0x8408, init 0xFFFF, final NOT); its check value
+  over b"123456789" is the published 0x906E.
+- Scrambler keystream first 48 bits frozen as a literal (LFSR of
+  ref: aerol.h:406-440).
+- UW bit patterns frozen from the reference's own binary comments
+  (ref: aerol.cpp:918-928).
+
+A convention flip in any builder/framer pair makes at least one assertion
+here fail.  Layout sources: P ref: aerol.cpp:960-1039 (setSettings),
+1480-1530 (block fill / deinterleave / scramble), 1496-1520; R/T
+ref: aerol.h:548-850; C ref: aerol.cpp:2145-2430; interleaver
+ref: aerol.cpp:526-613; preamble bit order ref: aerol.cpp:700-731.
+"""
+
+import numpy as np
+import pytest
+
+from aero_tpu.protocol.crc import crc16_bytes, append_crc16_bytes
+from aero_tpu.protocol.scrambler import SCRAMBLE_KEYSTREAM
+from aero_tpu.protocol.framing import (FRAME_SPECS, UW_BITS, build_p_frames,
+                                       PChannelFramer, pack_frameinfo)
+from aero_tpu.protocol.rt_framing import (RTChannelFramer, build_r_burst,
+                                          build_t_burst)
+from aero_tpu.protocol.c_framing import (build_c_frames, CChannelFramer,
+                                         UW_I, UW_Q)
+from aero_tpu.protocol.isu import make_acars_userdata, segment_isu
+
+
+# ---------------------------------------------------------------------------
+# Independent reference-layout helpers (no aero_tpu.protocol internals)
+# ---------------------------------------------------------------------------
+
+def ref_crc16(data: bytes) -> int:
+    """Bit-serial CRC, transcribed from AeroLcrc16::calcusingbytes
+    (ref: aerol.h:332-367): bytes consumed LSB-first, reflected poly
+    0x8408, init 0xFFFF, final complement."""
+    crc = 0xFFFF
+    for byte in data:
+        for k in range(8):
+            bit = (byte >> k) & 1
+            lsb = crc & 1
+            crc >>= 1
+            if lsb ^ bit:
+                crc ^= 0x8408
+    return crc ^ 0xFFFF
+
+
+def ref_crc_append(data: bytes) -> bytes:
+    """CRC placement: low byte first (ref RX reads
+    crc_rec = su[11]<<8 | su[10], aerol.cpp:1533-1536)."""
+    c = ref_crc16(data)
+    return data + bytes([c & 0xFF, (c >> 8) & 0xFF])
+
+
+def ref_keystream(n: int) -> np.ndarray:
+    """AeroLScrambler LFSR (ref: aerol.h:406-440): 15-bit state list
+    initialised 1,1,0,1,0,0,1,0,1,0,1,1,0,0,1 (s0 first); output
+    v = s0 xor s14; shift toward s14 with v entering at s0."""
+    state = [1, 1, 0, 1, 0, 0, 1, 0, 1, 0, 1, 1, 0, 0, 1]
+    out = []
+    for _ in range(n):
+        v = state[0] ^ state[14]
+        out.append(v)
+        state = [v] + state[:-1]
+    return np.array(out, np.uint8)
+
+
+# Polys 109 = 0b1101101 and 79 = 0b1001111 (= octal 155/117, the CCSDS
+# K=7 pair; ref: aerol.cpp:909-913).  With the newest bit at the register
+# LSB, set poly bits give tap DELAYS directly:
+#   109: bits {0,2,3,5,6} -> out0[n] = x[n]^x[n-2]^x[n-3]^x[n-5]^x[n-6]
+#    79: bits {0,1,2,3,6} -> out1[n] = x[n]^x[n-1]^x[n-2]^x[n-3]^x[n-6]
+# Output order per input bit: poly 109 first (libcorrect writes poly[0]
+# then poly[1]; ref: jconvolutionalcodec.cpp:10-16).
+_TAPS0 = (0, 2, 3, 5, 6)
+_TAPS1 = (0, 1, 2, 3, 6)
+
+
+def ref_conv_encode(bits: np.ndarray) -> np.ndarray:
+    x = np.concatenate([np.zeros(6, np.uint8), np.asarray(bits, np.uint8)])
+    out = np.empty(2 * len(bits), np.uint8)
+    for n in range(len(bits)):
+        i = n + 6
+        out[2 * n] = np.bitwise_xor.reduce([x[i - d] for d in _TAPS0])
+        out[2 * n + 1] = np.bitwise_xor.reduce([x[i - d] for d in _TAPS1])
+    return out
+
+
+# Interleaver (ref: aerol.cpp:526-613): M=64 rows, the coded stream fills
+# a 64xN matrix column-major; the air stream reads rows in permuted order.
+# The reference builds interleaverowpermute by "[(i*27)%64] = i"; since
+# 19*27 = 513 = 1 (mod 64), that is row_sent_at_air_row_i = (19*i) % 64 in
+# closed form.  So air[i*N + j] = coded[64*j + (19*i) % 64].
+def ref_interleave(coded: np.ndarray, cols: int) -> np.ndarray:
+    out = np.empty(64 * cols, np.uint8)
+    for i in range(64):
+        for j in range(cols):
+            out[i * cols + j] = coded[64 * j + (19 * i) % 64]
+    return out
+
+
+def ref_interleave_burst_msk(coded: np.ndarray, rows: int) -> np.ndarray:
+    """Inverse of AeroLInterleaver::deinterleaveMSK (ref: aerol.cpp:615-686):
+    one 5-column group, then 3-column groups.  Derived the same closed-form
+    way: within a group, air[r*C + j] = groupcoded[64*j + (19*r) % 64]."""
+    out = np.empty(64 * rows, np.uint8)
+    for r in range(64):                       # 5-col group, air rows 0..63
+        for j in range(5):
+            out[r * 5 + j] = coded[64 * j + (19 * r) % 64]
+    g = 0
+    while 320 + g * 192 < 64 * rows:          # 3-col groups
+        air0, cod0 = 64 * (5 + 3 * g), 320 + g * 192
+        for r in range(64):
+            for j in range(3):
+                out[air0 + r * 3 + j] = coded[cod0 + 64 * j + (19 * r) % 64]
+        g += 1
+    return out
+
+
+def ref_pack_lsb(bits) -> bytes:
+    """RX bit packer (ref packintobytes, aerol.h:588-611 / aerol.cpp:1510-
+    1520): first bit -> byte bit 0."""
+    out = bytearray()
+    ch = 0
+    for h, b in enumerate(bits):
+        ch |= int(b) << (h % 8)
+        if h % 8 == 7:
+            out.append(ch)
+            ch = 0
+    return bytes(out)
+
+
+def ref_unpack_lsb(data: bytes) -> np.ndarray:
+    return np.array([(byte >> k) & 1 for byte in data for k in range(8)],
+                    np.uint8)
+
+
+def ref_uw_bits(value: int, n: int) -> np.ndarray:
+    """UWs transmit MSB-first (PreambleDetector::setPreamble pushes bit
+    len-1 first; ref: aerol.cpp:700-715)."""
+    return np.array([(value >> i) & 1 for i in range(n - 1, -1, -1)],
+                    np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Frozen-literal convention anchors
+# ---------------------------------------------------------------------------
+
+def test_crc16_is_x25():
+    """The reference CRC algorithm is CRC-16/X-25; the published check
+    value over b'123456789' is 0x906E — an oracle external to both this
+    repo and the reference."""
+    assert ref_crc16(b"123456789") == 0x906E
+    assert crc16_bytes(b"123456789") == 0x906E
+    for data in (b"", b"\x00" * 10, b"\x71ABCDEFGHI", bytes(range(10))):
+        assert crc16_bytes(data) == ref_crc16(data)
+    # placement: low byte at offset 10, high byte at offset 11
+    su = append_crc16_bytes(b"\x71ABCDEFGHI")
+    c = ref_crc16(b"\x71ABCDEFGHI")
+    assert su[10] == c & 0xFF and su[11] == c >> 8
+
+
+def test_scrambler_keystream_literal():
+    frozen = "000100110001101111000100001001010000111110001100"
+    ks = ref_keystream(48)
+    assert "".join(map(str, ks)) == frozen
+    assert np.array_equal(SCRAMBLE_KEYSTREAM[:48], ks)
+    assert np.array_equal(SCRAMBLE_KEYSTREAM[:4992], ref_keystream(4992))
+
+
+def test_uw_literals():
+    """UW bit patterns from the reference's own binary comments
+    (ref: aerol.cpp:918-928)."""
+    p_uw = "11100001010110101110100010010011"
+    assert "".join(map(str, ref_uw_bits(3780831379, 32))) == p_uw
+    assert np.array_equal(UW_BITS, ref_uw_bits(3780831379, 32))
+    c_i = "1010101100110111011010010011100010111100101000110000"
+    c_q = "0000110001010011110100011100100101101110110011010101"
+    assert int(c_i, 2) == UW_I == 0xAB376938BCA30
+    assert int(c_q, 2) == UW_Q == 0xC53D1C96ECD5
+
+
+def test_conv_encode_and_interleave_match_repo():
+    rng = np.random.default_rng(5)
+    bits = rng.integers(0, 2, 577, dtype=np.uint8)
+    from aero_tpu.protocol.viterbi import conv_encode
+    assert np.array_equal(conv_encode(bits), ref_conv_encode(bits))
+
+    from aero_tpu.protocol.interleaver import (interleave_indices,
+                                               deinterleave_indices,
+                                               deinterleave_msk_burst_indices)
+    for cols in (4, 6, 9, 78):
+        coded = rng.integers(0, 2, 64 * cols, dtype=np.uint8)
+        air_repo = coded[interleave_indices(cols)]
+        assert np.array_equal(air_repo, ref_interleave(coded, cols))
+        # and the repo deinterleaver inverts the hand interleave
+        assert np.array_equal(
+            ref_interleave(coded, cols)[deinterleave_indices(cols)], coded)
+    for rows in (5, 11, 23):
+        coded = rng.integers(0, 2, 64 * rows, dtype=np.uint8)
+        air = ref_interleave_burst_msk(coded, rows)
+        assert np.array_equal(air[deinterleave_msk_burst_indices(rows)],
+                              coded)
+
+
+# ---------------------------------------------------------------------------
+# P-channel frame vectors (ref: aerol.cpp:960-1039, 1480-1530)
+# ---------------------------------------------------------------------------
+
+def ref_assemble_p(fields, rate, lead_frames=2):
+    """Hand-assembled P-channel stream.  Per frame:
+    [16-bit frameinfo MSB-first: formatid=1,supfrm=0,fc,fc]
+    [178 dummy zeros at 10500] [interleaved coded payload] [UW].
+    Payload: per-frame info bits scrambled with the keystream restarted at
+    every frame (scrambler.reset() at frame boundary, ref: aerol.cpp:2014,
+    2018), one CONTINUOUS convolutional stream across frames, sliced per
+    frame and interleaved per 64xN block.  At 10500 each UW bit is sent
+    twice (both OQPSK arms carry the same 32-bit UW through alternating
+    per-arm detectors, ref: aerol.cpp:1089-1152).  Builder arrangement
+    mirrored from build_p_frames: frame j carries infofield j-lead+1."""
+    cols, blocks, dummy, uwrep = {600: (6, 3, 0, 1),
+                                  1200: (9, 2, 0, 1),
+                                  10500: (78, 1, 178, 2)}[rate]
+    soft_per_frame = 64 * cols * blocks
+    info_per_frame = soft_per_frame // 2
+    msgs = [ref_unpack_lsb(f) for f in fields]
+    assert all(len(m) == info_per_frame for m in msgs)
+    nfr = lead_frames + len(msgs) + 1
+    ks = ref_keystream(info_per_frame)
+    scrambled = []
+    for j in range(nfr):
+        k = j - lead_frames + 1
+        m = msgs[k] if 0 <= k < len(msgs) else np.zeros(info_per_frame,
+                                                        np.uint8)
+        scrambled.append(m ^ ks)
+    coded = ref_conv_encode(np.concatenate(scrambled))
+    stream = []
+    for j in range(nfr):
+        fc = j & 0xF
+        frameinfo = (1 << 12) | (0 << 8) | (fc << 4) | fc
+        hdr = ref_uw_bits(frameinfo, 16)
+        seg = coded[j * soft_per_frame:(j + 1) * soft_per_frame]
+        inter = np.concatenate(
+            [ref_interleave(seg[b * 64 * cols:(b + 1) * 64 * cols], cols)
+             for b in range(blocks)])
+        uw = np.repeat(ref_uw_bits(3780831379, 32), uwrep)
+        stream.append(np.concatenate(
+            [hdr, np.zeros(dummy, np.uint8), inter, uw]))
+    return np.concatenate(stream)
+
+
+@pytest.mark.parametrize("rate", [600, 1200, 10500])
+def test_p_frame_vector(rate):
+    rng = np.random.default_rng(3)
+    n = FRAME_SPECS[rate].payload_info_bits // 8
+    su_count = n // 12
+    fields = [b"".join(ref_crc_append(bytes([0x71] +
+                                            list(rng.integers(0, 256, 9))))
+                       for _ in range(su_count)) for _ in range(2)]
+    hand = ref_assemble_p(fields, rate)
+    built = build_p_frames(fields, rate)
+    assert np.array_equal(built, hand), (
+        f"builder bit layout diverges from reference layout at rate {rate}")
+
+    # and the framer decodes the HAND-BUILT stream
+    fr = PChannelFramer(rate)
+    evs = fr.feed(hand.astype(np.float32) * 255.0)
+    got = [e.infofield for e in evs]
+    assert all(f in got for f in fields)
+    for e in evs:
+        assert all(e.su_crc_ok)
+
+
+def test_p_frameinfo_bits():
+    """Header packs MSB-first: formatid<<12 | supfrm<<8 | fc<<4 | fc
+    (ref: aerol.cpp:1225-1228 unpack)."""
+    bits = pack_frameinfo(formatid=1, supfrm=0, fc=5)
+    assert np.array_equal(bits, ref_uw_bits((1 << 12) | (5 << 4) | 5, 16))
+
+
+# ---------------------------------------------------------------------------
+# R / T burst vectors (ref: aerol.h:548-850)
+# ---------------------------------------------------------------------------
+
+def ref_assemble_r(info17: bytes, oqpsk: bool, preamble_bits=64):
+    """R packet: 17 info bytes + CRC = 19 bytes = 152 bits, zero-padded to
+    5 rows x 32 info bits; keystream restarted at packet start
+    (scrambler.reset() per checkpoint, ref: aerol.h:640/766); coded
+    continuously from register 0; MSK bursts use the 5-col burst layout,
+    OQPSK bursts the straight 5-col layout (ref: aerol.h:645 vs 771)."""
+    pkt = ref_crc_append(info17)
+    info = np.concatenate([ref_unpack_lsb(pkt), np.zeros(8, np.uint8)])
+    coded = ref_conv_encode(info ^ ref_keystream(160))
+    air = (ref_interleave(coded, 5) if oqpsk
+           else ref_interleave_burst_msk(coded, 5))
+    pre = (np.arange(preamble_bits) % 2).astype(np.uint8)
+    return np.concatenate([pre, ref_uw_bits(3780831379, 32), air])
+
+
+def ref_assemble_t(aesid: int, gesid: int, sus, oqpsk: bool,
+                   preamble_bits=64):
+    """T packet: [3-byte AES MSB-first][GES] + CRC = 6-byte header, then
+    12-byte SUs (10 + CRC).  MSK rows = (N+1)*3+2 (ref targetBlocks,
+    aerol.h:703); OQPSK rows satisfy N = 1+(rows*64-320)/192
+    (ref: aerol.h:811)."""
+    n = len(sus)
+    rows = (n + 1) * 3 + 2 if not oqpsk else 3 * n + 2
+    header = ref_crc_append(bytes([(aesid >> 16) & 0xFF, (aesid >> 8) & 0xFF,
+                                   aesid & 0xFF, gesid]))
+    body = b"".join(ref_crc_append(bytes(su[:10])) for su in sus)
+    info = ref_unpack_lsb(header + body)
+    info = np.concatenate([info, np.zeros(rows * 32 - len(info), np.uint8)])
+    coded = ref_conv_encode(info ^ ref_keystream(rows * 32))
+    air = (ref_interleave(coded, rows) if oqpsk
+           else ref_interleave_burst_msk(coded, rows))
+    pre = (np.arange(preamble_bits) % 2).astype(np.uint8)
+    return np.concatenate([pre, ref_uw_bits(3780831379, 32), air])
+
+
+def _stream(bits):
+    soft = np.where(bits > 0, 255, 0).astype(np.int16)
+    return np.concatenate([[-1], soft, np.full(40, -2, np.int16)]
+                          ).astype(np.int16)
+
+
+@pytest.mark.parametrize("oqpsk", [False, True])
+def test_r_burst_vector(oqpsk):
+    info = (bytes([0x1B, 0x28, 0x0A, 0x0B, 0x0C, 0x77]) +
+            b"HELLO ORACLE").ljust(17, b"\0")[:17]
+    hand = ref_assemble_r(info, oqpsk)
+    assert np.array_equal(build_r_burst(info, oqpsk=oqpsk), hand)
+    fr = RTChannelFramer(oqpsk=oqpsk)
+    evs = fr.feed(_stream(hand))
+    assert [e.kind for e in evs] == ["R"]
+    assert evs[0].infofield[:17] == info
+
+
+@pytest.mark.parametrize("oqpsk", [False, True])
+def test_t_burst_vector(oqpsk):
+    acars = []
+    ud = make_acars_userdata("2", "N100TP", "!", "H1", "A", "HAND VECTOR T")
+    sus = segment_isu(ud, aesid=0x123456, gesid=0x41)
+    hand = ref_assemble_t(0x123456, 0x41, sus, oqpsk)
+    assert np.array_equal(build_t_burst(0x123456, 0x41, sus, oqpsk=oqpsk),
+                          hand)
+    fr = RTChannelFramer(oqpsk=oqpsk, on_acars=acars.append)
+    evs = fr.feed(_stream(hand))
+    assert [(e.kind, e.n_sus) for e in evs] == [("T", len(sus))]
+    assert any(a.message == "HAND VECTOR T" for a in acars)
+
+
+# ---------------------------------------------------------------------------
+# C-channel frame vector (ref: aerol.cpp:2145-2430)
+# ---------------------------------------------------------------------------
+
+def ref_assemble_c(frames, lead_frames=2):
+    """C frame info = 2714 bits in 109-bit groups [1 pad][96 voice]
+    [12 signalling] x24 + final [1 pad][96 voice] (ref voice loop
+    aerol.cpp:2384-2409: h starts at 1, takes 96, skips 13).  Info padded
+    to 2730, scrambled per frame (keystream reset at sync,
+    ref: aerol.cpp:2228), coded continuously, PUNCTURED keep-3-drop-4th
+    (RX depuncture inserts a neutral after every 3, ref: aerol.cpp:2432-
+    2446), one filler bit to 4096, interleaved per 256-bit sub-block with
+    4 cols (ref: aerol.cpp:2239-2247), then the dual 52-bit UW pair:
+    Q-arm bit then I-arm bit (ref: aerol.cpp:921-928)."""
+    msgs = []
+    for sus, voice in frames:
+        bits = np.zeros(2714, np.uint8)
+        vb = ref_unpack_lsb(bytes(voice))
+        sb = np.concatenate([ref_unpack_lsb(bytes(s)) for s in sus])
+        for y in range(25):
+            bits[y * 109 + 1: y * 109 + 97] = vb[y * 96:(y + 1) * 96]
+        for y in range(24):
+            bits[y * 109 + 97: y * 109 + 109] = sb[y * 12:(y + 1) * 12]
+        msgs.append(bits)
+    nfr = lead_frames + len(msgs) + 1
+    ks = ref_keystream(2714)
+    uw_pair = np.empty(104, np.uint8)
+    uw_pair[0::2] = ref_uw_bits(UW_Q, 52)
+    uw_pair[1::2] = ref_uw_bits(UW_I, 52)
+    stream = []
+    carry = np.zeros(0, np.uint8)   # continuous encoder state via history
+    hist = np.zeros(6, np.uint8)
+    for j in range(nfr):
+        k = j - lead_frames
+        m = msgs[k] if 0 <= k < len(msgs) else np.zeros(2714, np.uint8)
+        info = np.concatenate([m ^ ks, np.zeros(2730 - 2714, np.uint8)])
+        # continuous encoding: prepend the last 6 info bits of the
+        # previous frame so the register carries across frames
+        x = np.concatenate([hist, info])
+        coded = ref_conv_encode(x)[2 * 6:]
+        hist = info[-6:]
+        punct = np.delete(coded, np.arange(3, len(coded), 4))
+        punct = np.append(punct, 0).astype(np.uint8)
+        assert len(punct) == 4096
+        inter = np.concatenate(
+            [ref_interleave(punct[i * 256:(i + 1) * 256], 4)
+             for i in range(16)])
+        stream.append(np.concatenate([inter, uw_pair]))
+    _ = carry
+    return np.concatenate(stream)
+
+
+def test_c_frame_vector():
+    rng = np.random.default_rng(9)
+    sus = [ref_crc_append(bytes([0x30, 0x12, 0x34, 0x56] +
+                                list(rng.integers(0, 256, 6))))
+           for _ in range(3)]
+    voice = bytes(rng.integers(0, 256, 300, dtype=np.uint8).tobytes())
+    hand = ref_assemble_c([(sus, voice)])
+    built = build_c_frames([(sus, voice)])
+    assert np.array_equal(built, hand), (
+        "C builder bit layout diverges from reference layout")
+
+    voices = []
+    fr = CChannelFramer(on_voice=lambda d, h: voices.append(bytes(d)))
+    evs = fr.feed(hand.astype(np.float32) * 255.0)
+    sig = [bytes(su) for e in evs for su, ok, _ in e.signalling if ok]
+    assert all(bytes(s) in sig for s in sus)
+    assert bytes(voice) in voices
