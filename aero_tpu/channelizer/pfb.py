@@ -35,13 +35,23 @@ from aero_tpu.ops.compat import pack_c64, unpack_c64
 
 @functools.lru_cache(maxsize=None)
 def pfb_prototype(K: int, taps_per_branch: int = 8, fs: float = 1.0,
-                  cutoff_frac: float = 0.5) -> np.ndarray:
-    """Prototype lowpass, length P*K, cutoff cutoff_frac * (fs/K)/2... in
-    normalized terms: passband edge at cutoff_frac of the bin spacing."""
+                  cutoff_frac: float = 0.75) -> np.ndarray:
+    """Prototype lowpass, length P*K; passband edge at ``cutoff_frac`` of
+    the bin spacing fs/K.
+
+    The filterbank is 2x oversampled (hop M = K/2, output Nyquist fs/K),
+    so the prototype may pass well beyond half the bin spacing before
+    decimation aliasing matters.  The wide 0.75 default keeps the VFO
+    audio usable across the full hunting scan range (the reference's VFO
+    audio from the SDR is full-band; an off-center 10500 bps carrier at
+    14 kHz audio spans ~20 kHz and must survive the PFB —
+    tests/test_hunter_station.py).  Stopband starts at 1.2x the bin
+    spacing: content folding into the band edge is partially attenuated,
+    anything further is >70 dB down; the per-demod matched filters
+    provide the final channel selectivity."""
     L = taps_per_branch * K
-    # cutoff at half the bin spacing (critically flat across the bin)
     cut = cutoff_frac / K
-    taps = low_pass_design(1.0, 1.0, cut, 0.8 / K, ntaps=L - 1)
+    taps = low_pass_design(1.0, 1.0, cut, 0.45 / K, ntaps=L - 1)
     taps = np.append(taps, 0.0)
     return (taps / np.sum(taps) * K).astype(np.float32)
 

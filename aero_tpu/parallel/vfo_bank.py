@@ -68,6 +68,25 @@ class VfoBank:
         self.states, out = self._jit_step(self.states, samples)
         return out
 
+    def retune(self, rows, freqs):
+        """Force the demodulators in ``rows`` to re-acquire at the given
+        audio center frequencies (the reference's CenterFreqChangedSlot;
+        ref: decode/decode.cpp:183-226).  Hunting fires rarely, so the
+        fetch-modify-put round trip is off the hot path."""
+        # states were packed per-VFO under vmap, so the complex-pack axis
+        # sits at position 1 — unpack/repack under vmap to keep the vfo
+        # axis leading
+        st = jax.vmap(tree_unpack)(self.states)
+        rows = np.asarray(rows, np.int64)
+        freqs = jnp.asarray(np.asarray(freqs, np.float32))
+        st = st._replace(
+            freq=st.freq.at[rows].set(freqs),
+            mse=st.mse.at[rows].set(2.0),
+            have_lock_refs=st.have_lock_refs.at[rows].set(False),
+            agc_ema=st.agc_ema.at[rows].set(0.0),
+            coarse_y=st.coarse_y.at[rows].set(20.0))
+        self.states = shard_over_vfo(self.mesh, jax.vmap(tree_pack)(st))
+
 
 class MskVfoBank(VfoBank):
     """B independent MSK demodulators (600/1200 bps)."""

@@ -27,6 +27,7 @@ from aero_tpu.channelizer import ChannelizerConfig, Channelizer
 from aero_tpu.parallel.vfo_bank import MskVfoBank, OqpskVfoBank
 from aero_tpu.protocol.framing import PChannelFramer
 from aero_tpu.protocol.su_dispatch import PChannelSUDispatcher
+from aero_tpu.runtime.hunter import SignalHunter
 
 
 @dataclass
@@ -38,11 +39,43 @@ class StationStats:
     su_bad: int = 0
     acars: int = 0
     voice_frames: int = 0
+    # burst (R/T) path observability: a dead burst watcher must be
+    # distinguishable from a quiet channel (the reference emits per-demod
+    # SignalStatus; ref decode/burstmskdemodulator.h signals)
+    burst_windows: int = 0      # candidate windows that demodulated a burst
+    burst_packets: int = 0      # R/T packets successfully framed
 
     @property
     def realtime_factor(self) -> float:
         return 0.0 if self.wall_seconds == 0 else \
             self.wideband_samples / self.wall_seconds
+
+
+def new_burst_stats() -> dict:
+    """Per-burst-VFO counters shared by Station and FusedStation."""
+    return {"windows": 0, "packets": 0,
+            "last_tone_quality": 0.0, "last_freq": 0.0}
+
+
+def account_burst_outputs(stats: StationStats, burst_stats: dict,
+                          outs, framer) -> int:
+    """Run burst demod outputs through the R/T framer with full
+    accounting: windows demodulated, packets framed, last tone quality
+    and frequency.  Returns the number of packets framed."""
+    packets = 0
+    for out in outs:
+        if not out["burst"]:
+            continue
+        burst_stats["windows"] += 1
+        stats.burst_windows += 1
+        burst_stats["last_tone_quality"] = float(out["tone_quality"])
+        burst_stats["last_freq"] = float(out["freq"])
+        for _ev in framer.feed(out["soft_bits"]):
+            packets += 1
+            burst_stats["packets"] += 1
+            stats.burst_packets += 1
+            stats.frames += 1
+    return packets
 
 
 def account_framer_events(stats: StationStats, data_rate: int, evs,
@@ -74,7 +107,8 @@ class Station:
 
     def __init__(self, cfg: ChannelizerConfig, on_acars=None, mesh=None,
                  station_id: str = "AERO-TPU", backend: str = "tree",
-                 on_voice=None, aircraft_db=None):
+                 on_voice=None, aircraft_db=None, hunt: bool = True,
+                 hunt_max_tries: int = 15):
         self.cfg = cfg
         self.station_id = station_id
         self.on_voice = on_voice or (lambda vfo, data, hex_aes: None)
@@ -113,6 +147,10 @@ class Station:
         self.framers = {}
         self.dispatchers = {}
         self._audio_buf = {}
+        # per-VFO signal hunters, as the reference wires one per decode
+        # process (ref: decode/decode.cpp:161-226, hunter.cpp:20-40);
+        # disabled for burst VFOs like the reference (decode.cpp:174,204)
+        self.hunters = {}
         for key, idxs in self.groups.items():
             out_rate, data_rate = key
             bank_cls = MskVfoBank if data_rate in (600, 1200) else OqpskVfoBank
@@ -120,6 +158,18 @@ class Station:
                                        float(data_rate), mesh=mesh)
             for i in idxs:
                 topic = cfg.subs[i].topic
+                if hunt:
+                    h = SignalHunter(max_tries=hunt_max_tries)
+                    if data_rate > 1200:
+                        h.set_scan_range(0.0, 25000.0, 10500.0)  # C band
+                    else:
+                        h.set_scan_range(0.0, 6000.0, 900.0)     # L band
+                    # scanned tunes must stay physical: cap below the
+                    # audio Nyquist minus half the symbol rate
+                    h.max_freq = min(h.max_freq,
+                                     out_rate / 2.0 - data_rate / 2.0)
+                    h.freq_center = float(self.banks[key].cfg.freq_center)
+                    self.hunters[topic] = h
                 if data_rate == 8400:
                     # C channel: voice + sub-band signalling, no ACARS
                     # (ref aerol.cpp:2145-2430 DecodeC)
@@ -136,6 +186,7 @@ class Station:
         # (aero-tpu INI extension: '<n>\\burst=1')
         self.burst_demods = {}
         self.rt_framers = {}
+        self.burst_stats = {}
         for i in self.burst_vfos:
             s = cfg.subs[i]
             if s.data_rate > 1200:
@@ -151,6 +202,7 @@ class Station:
             self.rt_framers[s.topic] = RTChannelFramer(
                 oqpsk=s.data_rate > 1200,
                 on_acars=self._mk_sink(s.topic), db=self._db)
+            self.burst_stats[s.topic] = new_burst_stats()
 
     def _mk_sink(self, topic):
         def sink(item):
@@ -176,10 +228,10 @@ class Station:
 
         for topic, demod in self.burst_demods.items():
             if topic in audio_by_topic:
-                for out in demod.process(audio_by_topic[topic]):
-                    if out["burst"]:
-                        for ev in self.rt_framers[topic].feed(out["soft_bits"]):
-                            self.stats.frames += 1
+                account_burst_outputs(
+                    self.stats, self.burst_stats[topic],
+                    demod.process(audio_by_topic[topic]),
+                    self.rt_framers[topic])
 
         for key, idxs in self.groups.items():
             bank = self.banks[key]
@@ -196,11 +248,26 @@ class Station:
                     self._audio_buf[t] = self._audio_buf[t][L:]
                 out = bank.process_block(blocks)
                 soft = np.asarray(out["soft_bits"])
+                signal = np.asarray(out["signal"])
+                retune_rows, retune_freqs = [], []
                 for row, t in enumerate(topics):
                     account_framer_events(
                         self.stats, key[1],
                         self.framers[t].feed(soft[row].astype(np.float32)),
                         self.dispatchers.get(t))
+                    h = self.hunters.get(t)
+                    if h is not None:
+                        fr = self.framers[t]
+                        h.update_dcd(bool(getattr(fr, "dcd", fr.locked)))
+                        before = h.freq_center
+                        h.update_signal_status(bool(signal[row]))
+                        if h.freq_center != before:
+                            tune = float(np.clip(h.freq_center, 100.0,
+                                                 key[0] / 2.0 - 100.0))
+                            retune_rows.append(row)
+                            retune_freqs.append(tune)
+                if retune_rows:
+                    bank.retune(retune_rows, retune_freqs)
 
         self.stats.wideband_samples += len(iq_block)
         self.stats.wall_seconds += time.perf_counter() - t0
