@@ -146,7 +146,78 @@ def main(argv=None) -> int:
     ok2 = bool(close.mean() > 0.999)
     print(f"MH-VFOBANK-{'OK' if ok2 else 'FAIL'} proc={args.process_id} "
           f"rows={B} match={100.0 * close.mean():.2f}%", flush=True)
-    return 0 if (ok and ok2) else 1
+
+    # ---- stage 3: the FULL FusedStation across processes ----
+    # The production station program (quantized ingest -> PFB -> vmapped
+    # demod bank -> packed soft+telemetry) compiled over the GLOBAL mesh,
+    # VFO rows living on different hosts, verified against a local
+    # unsharded run of the same block (VERDICT r3 item 6).
+    from aero_tpu.channelizer import load_ini
+    from aero_tpu.runtime.fused_station import FusedStation
+
+    n_v = len(devs)
+    vfos = "".join(
+        f"{i+1}\\frequency={1545002000 + i * 19000}\n"
+        f"{i+1}\\data_rate=1200\n{i+1}\\topic=V{i}\n{i+1}\\gain=100\n"
+        for i in range(n_v))
+    ini = ("[General]\nsample_rate=1536000\ncenter_frequency=1545000000\n"
+           f"[vfos]\nsize={n_v}\n{vfos}")
+
+    def mk():
+        return FusedStation(load_ini(ini, is_text=True),
+                            ingest_dtype="int4", base_block=160,
+                            pipeline=False, hunt=False)
+
+    st = mk()
+    srng = np.random.default_rng(7)
+    blk = st.quantize((0.02 * (srng.standard_normal((st.block_len, 2))
+                               @ [1, 1j])).astype(np.complex64))
+
+    # globalize the station state over the process-spanning mesh: per-VFO
+    # leaves sharded on their leading row axis (each host contributes its
+    # local rows of the deterministic init), PFB carries replicated —
+    # exactly FusedStation.shard's layout, built cross-host
+    def g_vfo(leaf):
+        a = np.asarray(leaf)
+        loc = a[args.process_id * b_local:(args.process_id + 1) * b_local]
+        return multihost_utils.host_local_array_to_global_array(
+            loc, vmesh, P("vfo", *([None] * (a.ndim - 1))))
+
+    def g_rep(leaf):
+        return multihost_utils.host_local_array_to_global_array(
+            np.asarray(leaf), vmesh, P())
+
+    st._state = {
+        "pfb": {r: g_rep(v) for r, v in st._state["pfb"].items()},
+        "grp": {key: jax.tree.map(g_vfo, g)
+                for key, g in st._state["grp"].items()},
+    }
+    step = st._get_step(1)
+    iqs = g_rep(np.stack([np.asarray(blk)]))
+    scales = g_rep(np.asarray([1.0], np.float32))
+    st._state, packed = step(st._state, iqs, scales)
+    got3 = np.asarray(multihost_utils.process_allgather(packed, tiled=True))
+
+    ref_st = mk()                      # local, unsharded reference
+    _, ref_packed = ref_st._get_step(1)(
+        ref_st._state, jnp.asarray(np.stack([np.asarray(blk)])),
+        jnp.asarray([1.0], jnp.float32))
+    ref_row = np.asarray(ref_packed)[0]
+    got_row = got3[0]
+    soft_n = ref_st._soft_total
+    # soft bytes: rounding at quantization boundaries may flip by 1 under
+    # resharded reductions; telemetry floats must agree closely
+    soft_close = (np.abs(got_row[:soft_n].astype(int)
+                         - ref_row[:soft_n].astype(int)) <= 1).mean()
+    tel_ok = np.allclose(got_row[soft_n:].view(np.float32),
+                         ref_row[soft_n:].view(np.float32),
+                         rtol=1e-4, atol=1e-4)
+    ok3 = bool(tel_ok and soft_close > 0.999)
+    print(f"MH-FUSEDSTATION-{'OK' if ok3 else 'FAIL'} "
+          f"proc={args.process_id} vfos={n_v} "
+          f"soft_match={100.0 * soft_close:.2f}% tel_match={tel_ok}",
+          flush=True)
+    return 0 if (ok and ok2 and ok3) else 1
 
 
 if __name__ == "__main__":

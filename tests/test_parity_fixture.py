@@ -59,3 +59,40 @@ def test_synthetic_fixture_full_parity(rate):
 def test_real_capture_parity(capture, expected):
     rep = _run_parity(capture, expected)
     assert rep["parity_pct"] >= 95.0, json.dumps(rep)
+
+
+def test_jaero_and_jsondump_keys_cross_match():
+    """Format-conversion oracle (VERDICT r3 item 8): the same decoded
+    item rendered as jsondump and as the jaero flat format (which has no
+    message text; ref decode/output.cpp:107-127) must produce matching
+    parity keys, so expected.jsonl files from either reference toolchain
+    work directly."""
+    from aero_tpu.io.output import to_output_format
+    from aero_tpu.protocol.isu import ACARSItem, ISUItem
+    from tools.frame_diff import _key, keys_comparable
+
+    item = ACARSItem(isuitem=ISUItem(AESID=0x4001AA, GESID=0x41),
+                     MODE=ord("2"), TAK=ord("!"), LABEL=b"H1", BI=ord("A"),
+                     PLANEREG=b".VH-ABC", valid=True, hastext=True,
+                     message="CROSS FORMAT PARITY")
+    jd = to_output_format("jsondump", "ST", False, item)
+    ja = to_output_format("jaero", "ST", False, item)
+
+    kd, ka = _key(jd), _key(ja)
+    assert kd is not None and ka is not None
+    assert kd[-1] == "CROSS FORMAT PARITY"     # jsondump keeps text
+    assert ka[-1] is None                      # jaero has no text field
+    # flattened comparison matches them
+    sa, sb = keys_comparable([kd], [ka])
+    assert sa == sb and len(sa & sb) == 1
+
+    # and parity() accepts a jaero-format expected file end to end
+    import tempfile
+    from tools.parity_check import parity
+    with tempfile.NamedTemporaryFile("w", suffix=".jsonl",
+                                     delete=False) as f:
+        f.write(ja + "\n")
+        path = f.name
+    rep = parity([jd], path)
+    os.unlink(path)
+    assert rep["parity_pct"] == 100.0 and rep["matched"] == 1

@@ -14,20 +14,51 @@ import sys
 
 
 def _key(line: str):
+    """Normalized match key for one output line, either format.
+
+    jsondump nests aes/ges under isu.src/isu.dst by link direction
+    (ref: decode/output.cpp:38-107); the jaero flat format carries
+    AESID/GESID/LABEL/REG but NO message text (ref: output.cpp:107-127).
+    Both normalize to (aes, ges, label, reg, text) with text=None when
+    the format cannot express it — comparisons drop the text field when
+    either side lacks it (see ``keys_comparable``).
+    """
     try:
         j = json.loads(line)
     except json.JSONDecodeError:
         return None
+
+    def norm_reg(r):
+        return (r or "").lstrip(".").upper()
+
     if "isu" in j:                      # jsondump
-        acars = j["isu"].get("acars", {})
-        src = j["isu"].get("src", {}).get("addr", "")
-        dst = j["isu"].get("dst", {}).get("addr", "")
-        return (src, dst, acars.get("label", ""), acars.get("reg", ""),
+        isu = j["isu"]
+        acars = isu.get("acars", {})
+        aes = ges = ""
+        for side in ("src", "dst"):
+            ent = isu.get(side, {})
+            if "Aircraft" in ent.get("type", ""):
+                aes = ent.get("addr", "")
+            else:
+                ges = ent.get("addr", "")
+        return (aes.upper(), ges.upper(), acars.get("label", ""),
+                norm_reg(acars.get("reg", "")),
                 acars.get("msg_text", ""))
-    if "AESID" in j:                    # jaero format
-        return (j.get("AESID", ""), j.get("GESID", ""), j.get("LABEL", ""),
-                j.get("REG", ""), "")
+    if "AESID" in j:                    # jaero flat format
+        return (str(j.get("AESID", "")).upper(),
+                str(j.get("GESID", "")).upper(),
+                j.get("LABEL", ""), norm_reg(j.get("REG", "")), None)
     return None
+
+
+def keys_comparable(keys_a, keys_b):
+    """Reduce two key sets to a mutually-comparable form: when either
+    side has any text-less (jaero) key, drop text from both."""
+    flat = any(k[-1] is None for k in keys_a) or \
+        any(k[-1] is None for k in keys_b)
+    if flat:
+        return {k[:-1] for k in keys_a}, {k[:-1] for k in keys_b}
+    return set(keys_a), set(keys_b)
 
 
 def load(path):
@@ -46,7 +77,7 @@ def main():
         return 2
     a = load(sys.argv[1])
     b = load(sys.argv[2])
-    sa, sb = set(a), set(b)
+    sa, sb = keys_comparable(a, b)
     both = sa & sb
     print(f"{sys.argv[1]}: {len(a)} messages ({len(sa)} unique)")
     print(f"{sys.argv[2]}: {len(b)} messages ({len(sb)} unique)")

@@ -77,15 +77,19 @@ def decode_capture(path: str, bitrate: int = 1200, ini: str | None = None,
 
 
 def parity(ours_lines: list[str], expected_path: str) -> dict:
-    from tools.frame_diff import _key
-    ours = {k for k in (_key(ln) for ln in ours_lines) if k}
+    """expected.jsonl accepts BOTH reference output formats: jsondump
+    (nested isu) and the jaero flat JSON (AESID/GESID/LABEL/REG, no
+    text; ref decode/output.cpp:107-127) — with jaero expectations the
+    match drops message text from both sides."""
+    from tools.frame_diff import _key, keys_comparable
+    ours_keys = [k for k in (_key(ln) for ln in ours_lines) if k]
     expected = []
     with open(expected_path) as f:
         for line in f:
             k = _key(line.strip())
             if k:
                 expected.append(k)
-    exp_set = set(expected)
+    ours, exp_set = keys_comparable(ours_keys, expected)
     matched = ours & exp_set
     return {
         "parity_pct": round(100.0 * len(matched) / max(1, len(exp_set)), 1),
