@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--voice-out", default=None, metavar="FILE",
                    help="append C-channel voice codec frames (300 B per "
                         "frame, as decoded) to this file")
+    p.add_argument("--no-hunt", action="store_true",
+                   help="disable per-VFO signal hunting (the reference's "
+                        "SignalHunter scan; ref decode/decode.cpp:161-226)")
     return p
 
 
@@ -98,12 +101,14 @@ def main(argv=None) -> int:
         st = FusedStation(cfg, on_acars=on_acars, on_voice=on_voice,
                           station_id=args.station_id,
                           ingest_dtype=args.ingest_dtype,
-                          aircraft_db=args.aircraft_db)
+                          aircraft_db=args.aircraft_db,
+                          hunt=not args.no_hunt)
         B = st.block_len
     else:
         st = Station(cfg, on_acars=on_acars, on_voice=on_voice,
                      station_id=args.station_id, backend=args.backend,
-                     aircraft_db=args.aircraft_db)
+                     aircraft_db=args.aircraft_db,
+                     hunt=not args.no_hunt)
         B = cfg.buflen_complex
     last_stats = time.time()
 
@@ -114,10 +119,15 @@ def main(argv=None) -> int:
 
     def hup_stats():
         s = st.stats
-        print(json.dumps({"stats_on_sighup": {
-            "wideband_samples": s.wideband_samples, "frames": s.frames,
-            "su_ok": s.su_ok, "su_bad": s.su_bad, "acars": s.acars}}),
-            file=sys.stderr, flush=True)
+        dump = {"wideband_samples": s.wideband_samples, "frames": s.frames,
+                "su_ok": s.su_ok, "su_bad": s.su_bad, "acars": s.acars,
+                "burst_windows": s.burst_windows,
+                "burst_packets": s.burst_packets}
+        # fused backend: per-VFO signal/mse/ebno/freq + burst counters
+        if hasattr(st, "vfo_telemetry"):
+            dump["vfos"] = st.vfo_telemetry()
+        print(json.dumps({"stats_on_sighup": dump}),
+              file=sys.stderr, flush=True)
 
     notifier = EventNotifier(on_hangup=hup_stats).install()
 
@@ -141,6 +151,8 @@ def main(argv=None) -> int:
                             s.realtime_factor / cfg.sample_rate, 2),
                         "frames": s.frames, "su_ok": s.su_ok,
                         "su_bad": s.su_bad, "acars": s.acars,
+                        "burst_windows": s.burst_windows,
+                        "burst_packets": s.burst_packets,
                     }}), file=sys.stderr, flush=True)
         if hasattr(st, "flush"):
             st.flush()       # drain the pipelined in-flight block

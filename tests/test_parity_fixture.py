@@ -96,3 +96,35 @@ def test_jaero_and_jsondump_keys_cross_match():
     rep = parity([jd], path)
     os.unlink(path)
     assert rep["parity_pct"] == 100.0 and rep["matched"] == 1
+
+
+def test_readme_bench_generator_round_trips():
+    """README's measured-performance table is GENERATED from bench output
+    (VERDICT r3 weak #2: one source of truth).  Feeding the generator a
+    synthetic bench log must rewrite every row with exactly those
+    numbers, and regenerating with the same log must be idempotent."""
+    import tempfile
+    from tools.update_readme_bench import parse, rewrite
+
+    log = (
+        "pfb_full_chain: 12345.6 best / 11111.1 median (spread 20%) MS/s "
+        "wideband, 8000.0 stations x 50 VFOs per chip\n"
+        "cascade_full_chain: 11000.0 best / 10000.0 median (spread 10%) "
+        "MS/s wideband, 7000.0 stations (reference-shaped tree)\n"
+        "demod_only: 25000.0 best / 24000.0 median (spread 5%) MS/s audio\n"
+        "oqpsk_demod: 13000.0 best / 12000.0 median (spread 8%) MS/s audio\n"
+        "burst_window: 100000.0 best / 95000.0 median (spread 12%) MS/s\n"
+        "pallas_viterbi: 14000.0 best / 13000.0 median (spread 9%) Mbit/s\n"
+        "fused_station: 40.0x best / 38.0x median real time END TO END\n"
+        "fused_station_int2: 39.0x best / 37.0x median real time\n")
+    d = parse(log)
+    assert set(d) == {"pfb", "cascade", "demod", "oqpsk", "burst",
+                      "viterbi", "fused", "int2"}
+    readme = open(os.path.join(os.path.dirname(FIXDIR), "..",
+                               "README.md")).read()
+    out = rewrite(readme, d)
+    assert "| 12.3 GS/s wideband | 11.1 GS/s |" in out
+    assert "| 14.0 Gbit/s | 13.0 Gbit/s |" in out
+    assert "| 40.0× real time | 38.0× |" in out
+    assert "| int2 | 0.5 | 39.0× / 37.0× |" in out
+    assert rewrite(out, d) == out          # idempotent

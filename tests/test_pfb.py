@@ -100,3 +100,64 @@ def test_fused_matches_gather_formulation():
         np.testing.assert_allclose(np.asarray(z1), np.asarray(z2),
                                    atol=2e-5)
         np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_pfb_adjacent_channel_rejection():
+    """Guard for the widened WOLA prototype (0.75x bin spacing passband):
+    two 1200 bps carriers in ADJACENT bins of the same rate group — each
+    with a strong neighbor one bin spacing (12 kHz) away — must both
+    decode through the FusedStation.  The per-demod
+    matched filters provide the final selectivity the wider prototype
+    gives up."""
+    from aero_tpu.channelizer import load_ini
+    from aero_tpu.runtime.fused_station import FusedStation
+    from aero_tpu.models.msk import msk_modulate
+    from aero_tpu.protocol.framing import build_p_frames
+    from aero_tpu.protocol.crc import append_crc16_bytes
+    from aero_tpu.protocol.isu import make_acars_userdata, segment_isu
+
+    fs, center = 288000, 1545000000
+    # adjacent PFB bins: bin spacing fs/K = 12 kHz at out_rate 24000 (K=24)
+    ini = (f"sample_rate={fs}\ncenter_frequency={center}\n[vfos]\nsize=2\n"
+           f"1\\frequency={center + 24000}\n1\\data_rate=1200\n"
+           "1\\topic=A\n1\\gain=100\n"
+           f"2\\frequency={center + 36000}\n2\\data_rate=1200\n"
+           "2\\topic=B\n2\\gain=100\n")
+    cfg = load_ini(ini, is_text=True)
+
+    def p_bits(tag):
+        ud = make_acars_userdata("2", "N" + tag, "!", "H1", "A",
+                                 f"ADJACENT {tag}")
+        sus = [append_crc16_bytes(b) for b in segment_isu(ud, 0x123456, 0x41)]
+        fill = append_crc16_bytes(bytes([0x01] + [0] * 9))
+        while len(sus) % 6:
+            sus.append(fill)
+        fields = [b"".join(sus[i:i + 6]) for i in range(0, len(sus), 6)]
+        return build_p_frames(fields, 1200, lead_frames=3)
+
+    rng = np.random.default_rng(13)
+    dur = 7 * fs
+    wb = np.zeros(dur, np.complex64)
+    for tag, delta in (("AA", 24000), ("BB", 36000)):
+        audio = msk_modulate(p_bits(tag), 24000, 1200.0, freq=1000.0)
+        up = fs // 24000
+        x = np.zeros(len(audio) * up, np.float32)
+        x[::up] = audio * up
+        from scipy.signal import firwin, lfilter
+        bb = lfilter(firwin(511, 1.0 / up), 1.0, x).astype(np.complex64)
+        t = np.arange(len(bb)) / fs
+        mixed = (bb * np.exp(2j * np.pi * delta * t)).astype(np.complex64)
+        wb[: len(mixed)] += mixed[: dur]
+    wb += (rng.normal(0, 0.002, dur)
+           + 1j * rng.normal(0, 0.002, dur)).astype(np.complex64)
+
+    got = []
+    st = FusedStation(cfg, ingest_dtype="int16", hunt=False,
+                      on_acars=lambda v, item: got.append((v, item.message)))
+    w = np.concatenate([wb, np.zeros(2 * st.block_len, np.complex64)])
+    for i in range(0, (len(w) // st.block_len) * st.block_len, st.block_len):
+        st.process(w[i:i + st.block_len])
+    st.flush()
+
+    assert ("A", "ADJACENT AA") in got, got
+    assert ("B", "ADJACENT BB") in got, got
