@@ -21,7 +21,11 @@ conventions to external ground truth:
   (ref: aerol.cpp:918-928).
 
 A convention flip in any builder/framer pair makes at least one assertion
-here fail.  Layout sources: P ref: aerol.cpp:960-1039 (setSettings),
+here fail — verified by mutation testing (2026-08-21): flipping the UW
+constant (the r1-r3 bug this file caught), the interleaver row permute
+(19 vs 27), the conv poly output order, the scrambler init state, or the
+SU bit order each fails this file while the repo's internal round-trip
+tests would pass.  Layout sources: P ref: aerol.cpp:960-1039 (setSettings),
 1480-1530 (block fill / deinterleave / scramble), 1496-1520; R/T
 ref: aerol.h:548-850; C ref: aerol.cpp:2145-2430; interleaver
 ref: aerol.cpp:526-613; preamble bit order ref: aerol.cpp:700-731.

@@ -183,3 +183,50 @@ def test_classic_station_hunter_acquires_offcenter_carrier():
         f"classic hunter never acquired; center {st.hunters['H'].freq_center}"
     # the hunter actually scanned (its center moved off the initial tune)
     assert st.hunters["H"].freq_center > 1400.0
+
+
+def test_fused_hunter_600_band_edge_carrier():
+    """Band-edge guard for the widened PFB prototype: a 600 bps MSK
+    carrier at 4800 Hz audio in a 12 kHz VFO (K=48 bins at fs=288k) sits
+    beyond the prototype's flat passband (0.75 x 6000 = 4500 Hz) and far
+    outside the initial 1000 Hz tune's lockingbw — the L-band scan
+    (0..5700 step 450) must walk up and the rolled-off band edge must
+    still demodulate."""
+    rng = np.random.default_rng(21)
+    ini = (f"[General]\nsample_rate={FS}\ncenter_frequency={CENTER}\n"
+           "[vfos]\nsize=1\n"
+           f"1\\frequency={CENTER - 60000}\n1\\data_rate=600\n1\\topic=E\n")
+    cfg = load_ini(ini, is_text=True)
+
+    ud = make_acars_userdata("2", "NEDGE", "!", "H1", "A", "BAND EDGE 600")
+    sus = [append_crc16_bytes(b) for b in segment_isu(ud, 0x654321, 0x41)]
+    fill = append_crc16_bytes(bytes([0x01] + [0] * 9))
+    while len(sus) % 6:
+        sus.append(fill)
+    fields = [b"".join(sus[i:i + 6]) for i in range(0, len(sus), 6)]
+    bits = build_p_frames(fields * 16, 600, lead_frames=4)
+
+    audio = msk_modulate(bits, 12000, 600.0, freq=4800.0)
+    up = FS // 12000
+    x = np.zeros(len(audio) * up, np.float32)
+    x[::up] = audio * up
+    bb = lfilter(firwin(511, 1.0 / up), 1.0, x).astype(np.complex64)
+    t = np.arange(len(bb)) / FS
+    wb = (bb * np.exp(2j * np.pi * -60000 * t)).astype(np.complex64)
+    wb = wb + (rng.normal(0, 0.003, len(wb))
+               + 1j * rng.normal(0, 0.003, len(wb))).astype(np.complex64)
+
+    got = []
+    st = FusedStation(cfg, ingest_dtype="int16", hunt_max_tries=2,
+                      on_acars=lambda v, item: got.append(item.message))
+    w = np.concatenate([wb, np.zeros(2 * st.block_len, np.complex64)])
+    freqs = []
+    for i in range(0, (len(w) // st.block_len) * st.block_len, st.block_len):
+        st.process(w[i:i + st.block_len])
+        tel = st.vfo_telemetry()
+        if tel:
+            freqs.append(tel["E"]["freq"])
+    st.flush()
+
+    assert "BAND EDGE 600" in got, f"never acquired; freq trace {freqs}"
+    assert abs(freqs[-1] - 4800.0) < 100.0, freqs
