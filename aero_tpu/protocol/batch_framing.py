@@ -61,25 +61,32 @@ def crc16_check_batch(su_bits):
     return jnp.all(calc == rec, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("rate", "use_pallas"))
+@functools.partial(jax.jit, static_argnames=("rate", "use_pallas",
+                                             "pre_deinterleaved"))
 def batch_decode_p_frames(soft_payloads, prefixes, *, rate: int,
-                          use_pallas: bool = False):
+                          use_pallas: bool = False,
+                          pre_deinterleaved: bool = False):
     """Decode N aligned P-channel frame payloads in one call.
 
     soft_payloads: [N, payload_soft_bits] soft bytes (after arm-flip
     correction); prefixes: [N, 62] soft bytes of the coded stream
-    immediately before each payload (128s when unknown).
+    immediately before each payload (128s when unknown).  With
+    ``pre_deinterleaved`` the payloads are already in coded-stream order
+    (the framers' host prep deinterleaves, BatchPChannelFramerBank).
 
     Returns dict(info_bits [N, info], su_ok [N, n_su]).
     """
     spec = FRAME_SPECS[rate]
     N = soft_payloads.shape[0]
     blocklen = 64 * spec.cols
-    didx = jnp.asarray(deinterleave_indices(spec.cols))
 
-    payload = jnp.asarray(soft_payloads, jnp.float32).reshape(
-        N, spec.blocks_per_frame, blocklen)
-    deint = jnp.take(payload, didx, axis=2).reshape(N, -1)
+    if pre_deinterleaved:
+        deint = jnp.asarray(soft_payloads, jnp.float32)
+    else:
+        didx = jnp.asarray(deinterleave_indices(spec.cols))
+        payload = jnp.asarray(soft_payloads, jnp.float32).reshape(
+            N, spec.blocks_per_frame, blocklen)
+        deint = jnp.take(payload, didx, axis=2).reshape(N, -1)
 
     buf = jnp.concatenate(
         [jnp.asarray(prefixes, jnp.float32), deint,
@@ -108,3 +115,73 @@ def batch_decode_p_frames(soft_payloads, prefixes, *, rate: int,
     # all-zero SUs pass (ref: aerol.cpp:1537-1543)
     zeros = jnp.all(su == 0, axis=1).reshape(N, n_su)
     return {"info_bits": info, "su_ok": ok | zeros}
+
+
+class BatchPChannelFramerBank:
+    """Many same-rate P-channel framers with ONE batched device decode.
+
+    Per-VFO lock search, arm-flip, UW scoring, DCD hysteresis and event
+    bookkeeping stay in the (well-tested) PChannelFramer — run in
+    ``defer_decode`` mode, where feed() queues prepared frames instead of
+    decoding them.  ``flush()`` then decodes EVERY pending frame across
+    all VFOs in one ``batch_decode_p_frames`` call (deinterleave already
+    done on host; Viterbi + descramble + SU CRC on device) and replays
+    each framer's bookkeeping in order.
+
+    Semantics vs per-VFO sequential framing: identical on the same
+    streams (tests/test_batch_framing.py::test_bank_matches_sequential),
+    except the UW-mismatch relock decision sees the DCD as of the last
+    drained batch (at most one frame stale).
+    """
+
+    def __init__(self, rate: int, topics, use_pallas: bool = False):
+        from aero_tpu.protocol.framing import PChannelFramer
+        self.rate = rate
+        self.use_pallas = use_pallas
+        self.framers = {}
+        for t in topics:
+            f = PChannelFramer(rate)
+            f.defer_decode = True
+            self.framers[t] = f
+
+    def feed(self, rows: dict) -> dict:
+        """rows: {topic: soft float array}.  Queues frames per topic, then
+        batch-decodes everything pending.  Returns {topic: [FrameEvent]}."""
+        for t, row in rows.items():
+            evs = self.framers[t].feed(np.asarray(row, np.float32))
+            assert not evs          # deferred mode never emits from feed
+        return self.flush()
+
+    def flush(self) -> dict:
+        from aero_tpu.protocol.framing import bits_to_bytes_lsb
+        pend = [(t, pre) for t, f in self.framers.items()
+                for pre in f._pending]
+        out = {t: [] for t in self.framers}
+        if not pend:
+            return out
+        soft = np.stack([pre["soft"] for _, pre in pend])
+        prefixes = np.stack([pre["prefix"] for _, pre in pend])
+        # pad the batch to the next power of two so the jit cache stays
+        # bounded as the per-drain frame count fluctuates
+        n = len(pend)
+        n_pad = 1 << (n - 1).bit_length()
+        if n_pad > n:
+            soft = np.concatenate(
+                [soft, np.full((n_pad - n,) + soft.shape[1:], 128.0,
+                               soft.dtype)])
+            prefixes = np.concatenate(
+                [prefixes, np.full((n_pad - n,) + prefixes.shape[1:], 128.0,
+                                   prefixes.dtype)])
+        dec = batch_decode_p_frames(jnp.asarray(soft), jnp.asarray(prefixes),
+                                    rate=self.rate,
+                                    use_pallas=self.use_pallas,
+                                    pre_deinterleaved=True)
+        info_bits = np.asarray(dec["info_bits"])
+        su_ok = np.asarray(dec["su_ok"])
+        for i, (t, pre) in enumerate(pend):
+            f = self.framers[t]
+            out[t].append(f._finish_frame(
+                pre, bits_to_bytes_lsb(info_bits[i]), su_ok[i]))
+        for f in self.framers.values():
+            f._pending.clear()
+        return out

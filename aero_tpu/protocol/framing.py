@@ -185,6 +185,12 @@ class PChannelFramer:
         self.dcd = False
         self._uw_pattern = np.repeat(UW_BITS, self.spec.uw_repeat).astype(np.int32)
         self._arm_flip = np.zeros(self.spec.uw_repeat, dtype=bool)
+        # deferred-decode mode (protocol/batch_framing.py): feed() queues
+        # prepared frames instead of decoding; a bank decodes ALL pending
+        # frames of many VFOs in one device call and replays the
+        # bookkeeping via _finish_frame
+        self.defer_decode = False
+        self._pending: list = []
 
     # ---- UW search ----
 
@@ -271,6 +277,27 @@ class PChannelFramer:
         return out
 
     def _decode_frame(self, frame: np.ndarray) -> list[FrameEvent]:
+        pre = self._prepare_frame(frame)
+        if self.defer_decode:
+            # queue for a batched device decode; carry the 62-soft-bit
+            # trellis history manually so checkpoints and a later switch
+            # back to sequential mode stay bit-consistent
+            pre["prefix"] = self.viterbi._carry.copy()
+            self.viterbi._carry = pre["soft"][-62:].astype(np.float32)
+            # relock on UW mismatch is evaluated here (with the dcd as of
+            # the last drained batch — at most one frame stale) so the
+            # feed loop's consume/search decisions don't wait on the
+            # deferred decode
+            self._maybe_relock(pre["uw_errors"])
+            self._pending.append(pre)
+            return []
+        decoded = self.viterbi.decode(pre["soft"])
+        info_bits = scramble_bits(decoded)
+        return [self._finish_frame(pre, bits_to_bytes_lsb(info_bits), None)]
+
+    def _prepare_frame(self, frame: np.ndarray) -> dict:
+        """Host-side frame prep: arm flip, header, UW errors, deinterleave.
+        Returns everything the (possibly deferred) decode needs."""
         spec = self.spec
         frame = self._apply_arm_flip(frame)
         hdr = frame[: spec.header_bits]
@@ -290,24 +317,34 @@ class PChannelFramer:
         else:
             uw_errors = int(np.sum(uw_hard != self._uw_pattern))
 
-        # deinterleave per block, decode continuously, descramble
         blocklen = 64 * spec.cols
         didx = deinterleave_indices(spec.cols)
         soft = np.concatenate(
             [payload[b * blocklen:(b + 1) * blocklen][didx]
              for b in range(spec.blocks_per_frame)])
-        decoded = self.viterbi.decode(soft)
-        info_bits = scramble_bits(decoded)
-        infofield = bits_to_bytes_lsb(info_bits)
+        return {"soft": soft, "frameinfo": frameinfo, "uw_errors": uw_errors}
 
+    def _maybe_relock(self, uw_errors: int):
+        """UW mismatch with carrier lost -> back to searching."""
+        max_uw_err = self.uw_tolerance + (0 if not self.phase_invariant else 2)
+        if uw_errors > max_uw_err and not self.dcd:
+            self.locked = False
+
+    def _finish_frame(self, pre: dict, infofield: bytes,
+                      su_ok_in) -> FrameEvent:
+        """SU CRC bookkeeping + DCD hysteresis + event build.  ``su_ok_in``
+        is the device batch's per-SU verdict, or None to compute here."""
         su_ok = []
         for k in range(len(infofield) // 12):
-            su = infofield[k * 12:(k + 1) * 12]
-            crc_calc = crc16_bytes(su[:10])
-            crc_rec = su[11] << 8 | su[10]
-            ok = crc_calc == crc_rec
-            if not ok and crc_rec == 0 and all(b == 0 for b in su[:10]):
-                ok = True  # all-zero SUs pass (ref: aerol.cpp:1537-1543)
+            if su_ok_in is not None:
+                ok = bool(su_ok_in[k])
+            else:
+                su = infofield[k * 12:(k + 1) * 12]
+                crc_calc = crc16_bytes(su[:10])
+                crc_rec = su[11] << 8 | su[10]
+                ok = crc_calc == crc_rec
+                if not ok and crc_rec == 0 and all(b == 0 for b in su[:10]):
+                    ok = True  # all-zero SUs pass (ref: aerol.cpp:1537-1543)
             su_ok.append(ok)
             self.dcd_count = (min(self.dcd_count + 2, 12) if ok
                               else max(self.dcd_count - 3, 0))
@@ -315,12 +352,13 @@ class PChannelFramer:
             self.dcd = True
         if self.dcd and self.dcd_count == 0:
             self.dcd = False
+        # in deferred mode this re-runs the prepare-time relock check with
+        # the now-updated DCD, so lock loss lands before the next drain's
+        # feed — same outcome as sequential whenever at most one frame per
+        # VFO arrives per drain (the steady-state case)
+        self._maybe_relock(pre["uw_errors"])
 
-        # UW mismatch with carrier lost -> back to searching
-        max_uw_err = self.uw_tolerance + (0 if not self.phase_invariant else 2)
-        if uw_errors > max_uw_err and not self.dcd:
-            self.locked = False
-
-        ev = FrameEvent(self.frame_index, infofield, su_ok, frameinfo, uw_errors)
+        ev = FrameEvent(self.frame_index, infofield, su_ok,
+                        pre["frameinfo"], pre["uw_errors"])
         self.frame_index += 1
-        return [ev]
+        return ev

@@ -90,7 +90,8 @@ class FusedStation:
                  gain: float = 10.0, pipeline: bool = True,
                  pipeline_depth: int = 2, blocks_per_step: int = 1,
                  base_block: int = 16000, hunt: bool = True,
-                 hunt_max_tries: int = 6, aircraft_db=None):
+                 hunt_max_tries: int = 6, aircraft_db=None,
+                 batch_host_framing: bool = False):
         assert not cfg.mains, "FusedStation serves sub-VFO banks only"
         self.cfg = cfg
         self.fs = cfg.sample_rate
@@ -152,6 +153,7 @@ class FusedStation:
         self.burst_demods = {}
         self.rt_framers = {}
         self.burst_stats = {}
+        self._batch_banks = {}
         for key, idxs in self.groups.items():
             out_rate, rate, burst = key
             K, M = self._K[out_rate], self._M[out_rate]
@@ -202,6 +204,21 @@ class FusedStation:
                 lo, hi, bw = 0.0, 25000.0, 10500.0    # C band
             hi = min(hi, out_rate / 2.0 - rate / 2.0)
             self._hunt_cfg[key] = (lo, hi, bw, dcfg.freq_center)
+            group_topics = [cfg.subs[i].topic for i in idxs]
+            if batch_host_framing and rate != 8400:
+                # P channels: per-VFO lock/bookkeeping + ONE device batch
+                # decode per drain for all pending frames of the group
+                # (protocol/batch_framing.py — the host-framing scale
+                # path, SURVEY.md §7)
+                from aero_tpu.protocol.batch_framing import (
+                    BatchPChannelFramerBank)
+                bank = BatchPChannelFramerBank(rate, group_topics)
+                self._batch_banks[key] = bank
+                for t in group_topics:
+                    self.framers[t] = bank.framers[t]
+                    self.dispatchers[t] = PChannelSUDispatcher(
+                        on_acars=self._mk_sink(t), db=self._db)
+                continue
             for i in idxs:
                 t = cfg.subs[i].topic
                 if rate == 8400:
@@ -574,6 +591,16 @@ class FusedStation:
                 pos, per_vfo = self._soft_ofs[key]
                 nb = len(self.groups[key])
                 sb = soft[pos: pos + nb * per_vfo].reshape(nb, per_vfo)
+                if not burst and key in self._batch_banks:
+                    # one batched device decode for the whole group's
+                    # pending frames
+                    evs_by_topic = self._batch_banks[key].feed(
+                        {topic: sb[r].astype(np.float32)
+                         for r, topic in enumerate(self.topics[key])})
+                    for topic, evs in evs_by_topic.items():
+                        account_framer_events(self.stats, rate, evs,
+                                              self.dispatchers.get(topic))
+                    continue
                 for r, topic in enumerate(self.topics[key]):
                     if burst:
                         audio = (sb[r].view(np.int16).astype(np.float32)

@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--voice-out", default=None, metavar="FILE",
                    help="append C-channel voice codec frames (300 B per "
                         "frame, as decoded) to this file")
+    p.add_argument("--batch-framing", action="store_true",
+                   help="fused backend: decode all P-channel frames of a "
+                        "rate group in ONE batched device call per drain "
+                        "(protocol/batch_framing.py; host framing at "
+                        "hundreds-of-VFOs scale)")
     p.add_argument("--no-hunt", action="store_true",
                    help="disable per-VFO signal hunting (the reference's "
                         "SignalHunter scan; ref decode/decode.cpp:161-226)")
@@ -102,7 +107,8 @@ def main(argv=None) -> int:
                           station_id=args.station_id,
                           ingest_dtype=args.ingest_dtype,
                           aircraft_db=args.aircraft_db,
-                          hunt=not args.no_hunt)
+                          hunt=not args.no_hunt,
+                          batch_host_framing=args.batch_framing)
         B = st.block_len
     else:
         st = Station(cfg, on_acars=on_acars, on_voice=on_voice,

@@ -68,3 +68,110 @@ def test_batch_decode_pallas_interpret_agrees():
     a = batch_decode_p_frames(jnp.asarray(payloads), jnp.asarray(prefixes),
                               rate=rate)
     assert np.asarray(a["su_ok"])[1:-1].all()
+
+
+def test_bank_matches_sequential():
+    """BatchPChannelFramerBank (defer + one batched device decode) must
+    produce the SAME events as per-VFO sequential PChannelFramers on the
+    same soft streams — infofield, su_ok, frameinfo, frame_index, DCD."""
+    from aero_tpu.protocol.batch_framing import BatchPChannelFramerBank
+    from aero_tpu.protocol.framing import PChannelFramer
+
+    rng = np.random.default_rng(7)
+    rate = 1200
+    streams = {}
+    for v in range(3):
+        fields = [b"".join(append_crc16_bytes(
+            bytes([0x71] + list(rng.integers(0, 256, 9))))
+            for _ in range(6)) for _ in range(3)]
+        bits = build_p_frames(fields, rate, lead_frames=1 + v)
+        soft = np.clip(bits.astype(np.float32) * 255
+                       + rng.normal(0, 20, len(bits)), 0, 255)
+        # one stream globally inverted: the polarity-invariant UW path
+        if v == 1:
+            soft = 255.0 - soft
+        streams[f"V{v}"] = np.concatenate(
+            [rng.integers(0, 256, 333).astype(np.float32), soft])
+
+    bank = BatchPChannelFramerBank(rate, list(streams))
+    seq = {t: PChannelFramer(rate) for t in streams}
+
+    got_bank = {t: [] for t in streams}
+    got_seq = {t: [] for t in streams}
+    for i in range(0, max(len(s) for s in streams.values()), 777):
+        chunk = {t: s[i:i + 777] for t, s in streams.items()}
+        for t, evs in bank.feed(chunk).items():
+            got_bank[t].extend(evs)
+        for t, c in chunk.items():
+            got_seq[t].extend(seq[t].feed(c))
+
+    for t in streams:
+        assert len(got_bank[t]) == len(got_seq[t]) > 0, t
+        for a, b in zip(got_bank[t], got_seq[t]):
+            assert a.infofield == b.infofield, t
+            assert list(a.su_crc_ok) == list(b.su_crc_ok), t
+            assert a.frameinfo == b.frameinfo and a.uw_errors == b.uw_errors
+            assert a.frame_index == b.frame_index
+        assert bank.framers[t].dcd == seq[t].dcd
+        assert bank.framers[t].dcd_count == seq[t].dcd_count
+
+
+def test_fused_station_batch_host_framing():
+    """FusedStation(batch_host_framing=True) decodes the same ACARS as
+    the per-VFO framing path."""
+    from scipy.signal import firwin, lfilter
+    from aero_tpu.channelizer import load_ini
+    from aero_tpu.runtime.fused_station import FusedStation
+    from aero_tpu.models.msk import msk_modulate
+    from aero_tpu.protocol.isu import make_acars_userdata, segment_isu
+
+    FS, CENTER = 288000, 1545000000
+    rng = np.random.default_rng(5)
+    ini = (f"[General]\nsample_rate={FS}\ncenter_frequency={CENTER}\n"
+           "[vfos]\nsize=2\n"
+           f"1\\frequency={CENTER + 24000}\n1\\data_rate=1200\n1\\topic=X\n"
+           f"2\\frequency={CENTER - 24000}\n2\\data_rate=1200\n2\\topic=Y\n")
+    cfg = load_ini(ini, is_text=True)
+
+    def p_stream(tag, delta, dur):
+        ud = make_acars_userdata("2", "N" + tag, "!", "H1", "A",
+                                 f"BATCH {tag}")
+        sus = [append_crc16_bytes(b)
+               for b in segment_isu(ud, 0x345678, 0x41)]
+        fill = append_crc16_bytes(bytes([0x01] + [0] * 9))
+        while len(sus) % 6:
+            sus.append(fill)
+        fields = [b"".join(sus[i:i + 6]) for i in range(0, len(sus), 6)]
+        audio = msk_modulate(build_p_frames(fields, 1200, lead_frames=3),
+                             24000, 1200.0, freq=1000.0)
+        up = FS // 24000
+        x = np.zeros(len(audio) * up, np.float32)
+        x[::up] = audio * up
+        bb = lfilter(firwin(511, 1.0 / up), 1.0, x).astype(np.complex64)
+        t = np.arange(len(bb)) / FS
+        w = (bb * np.exp(2j * np.pi * delta * t)).astype(np.complex64)
+        return np.concatenate([w, np.zeros(dur - len(w), np.complex64)])
+
+    dur = 8 * FS
+    wb = p_stream("XX", 24000, dur) + p_stream("YY", -24000, dur)
+    wb += (rng.normal(0, 0.003, dur)
+           + 1j * rng.normal(0, 0.003, dur)).astype(np.complex64)
+
+    results = {}
+    for batch in (False, True):
+        got = []
+        st = FusedStation(cfg, ingest_dtype="int16", hunt=False,
+                          batch_host_framing=batch,
+                          on_acars=lambda v, item: got.append(
+                              (v, item.message)))
+        w = np.concatenate([wb, np.zeros(2 * st.block_len, np.complex64)])
+        for i in range(0, (len(w) // st.block_len) * st.block_len,
+                       st.block_len):
+            st.process(w[i:i + st.block_len])
+        st.flush()
+        results[batch] = (sorted(set(got)), st.stats.frames,
+                          st.stats.su_ok, st.stats.su_bad)
+
+    assert ("X", "BATCH XX") in results[True][0]
+    assert ("Y", "BATCH YY") in results[True][0]
+    assert results[True] == results[False]
