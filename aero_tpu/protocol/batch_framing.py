@@ -132,6 +132,15 @@ class BatchPChannelFramerBank:
     streams (tests/test_batch_framing.py::test_bank_matches_sequential),
     except the UW-mismatch relock decision sees the DCD as of the last
     drained batch (at most one frame stale).
+
+    When to use (measured 2026-08-21, 50 locked VFOs, ~50 frames per
+    drain): on a TUNNELED chip the per-drain dispatch round trip
+    dominates and the sequential path with the native C++ Viterbi is
+    ~7x faster (5.4k vs 0.7k frames/s) — keep the default off there.
+    The bank pays off on host-attached accelerators at
+    hundreds-of-locked-VFOs scale, where one sub-ms batched call
+    replaces hundreds of per-frame host decodes and the raw kernel
+    sustains 42k frames/s (bench.py r2).
     """
 
     def __init__(self, rate: int, topics, use_pallas: bool = False):
