@@ -140,21 +140,9 @@ def _restore_burst_demod(b, d: dict):
     b._noise_floor = float(d["noise_floor"])
 
 
-def save_station_checkpoint(st, path: str):
-    """Write a FusedStation checkpoint.  Drains pending/in-flight blocks
-    first so host bookkeeping is consistent with the device state."""
-    st.flush()
-    leaves = jax.tree_util.tree_leaves(st._state)
-    entries = {f"dev_{i}": np.asarray(x) for i, x in enumerate(leaves)}
-
-    topics = sorted(set(st.framers) | set(st.rt_framers))
-    entries["meta_version"] = np.int64(FORMAT_VERSION)
-    entries["meta_topics"] = np.asarray(topics)
-    entries["meta_n_dev"] = np.int64(len(leaves))
-    entries["meta_gain"] = np.float64(st._gain)
-    entries["meta_ingest"] = np.asarray(st.ingest_dtype)
-    entries["meta_block_len"] = np.int64(st.block_len)
-
+def _save_topics(st, entries: dict, topics) -> None:
+    """Per-topic host state (framers, reassembly, burst demods) — shared
+    by the FusedStation and classic Station checkpoint formats."""
     for j, t in enumerate(topics):
         if t in st.framers:
             for k, v in _framer_state(st.framers[t]).items():
@@ -173,6 +161,55 @@ def save_station_checkpoint(st, path: str):
             for k, v in _burst_demod_state(st.burst_demods[t]).items():
                 entries[f"bd{j}_{k}"] = v
 
+
+def _load_topics(st, z, topics) -> None:
+    for j, t in enumerate(topics):
+        if t in st.framers:
+            d = {k[len(f"fr{j}_"):]: z[k] for k in z.files
+                 if k.startswith(f"fr{j}_")}
+            _restore_framer(st.framers[t], d)
+            if t in st.dispatchers and f"reasm{j}" in z.files:
+                isudata, defrag = _restricted_loads(
+                    z[f"reasm{j}"].tobytes())
+                st.dispatchers[t].isudata = isudata
+                st.dispatchers[t].parser.defrag = defrag
+        else:
+            d = {k[len(f"rt{j}_"):]: z[k] for k in z.files
+                 if k.startswith(f"rt{j}_")}
+            _restore_rt_framer(st.rt_framers[t], d)
+            risudata, isudata, defrag = _restricted_loads(
+                z[f"reasm{j}"].tobytes())
+            st.rt_framers[t].risudata = risudata
+            st.rt_framers[t].isudata = isudata
+            st.rt_framers[t].parser.defrag = defrag
+            b = {k[len(f"bd{j}_"):]: z[k] for k in z.files
+                 if k.startswith(f"bd{j}_")}
+            _restore_burst_demod(st.burst_demods[t], b)
+
+
+def _load_stats(st, z) -> None:
+    for k in z.files:
+        if k.startswith("stat_"):
+            v = z[k]
+            setattr(st.stats, k[5:],
+                    float(v) if v.dtype.kind == "f" else int(v))
+
+
+def save_station_checkpoint(st, path: str):
+    """Write a FusedStation checkpoint.  Drains pending/in-flight blocks
+    first so host bookkeeping is consistent with the device state."""
+    st.flush()
+    leaves = jax.tree_util.tree_leaves(st._state)
+    entries = {f"dev_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+
+    topics = sorted(set(st.framers) | set(st.rt_framers))
+    entries["meta_version"] = np.int64(FORMAT_VERSION)
+    entries["meta_topics"] = np.asarray(topics)
+    entries["meta_n_dev"] = np.int64(len(leaves))
+    entries["meta_gain"] = np.float64(st._gain)
+    entries["meta_ingest"] = np.asarray(st.ingest_dtype)
+    entries["meta_block_len"] = np.int64(st.block_len)
+    _save_topics(st, entries, topics)
     for k, v in vars(st.stats).items():
         entries[f"stat_{k}"] = np.asarray(v)
     np.savez_compressed(path, **entries)
@@ -217,30 +254,109 @@ def load_station_checkpoint(st, path: str):
 
         st._state = jax.tree_util.tree_unflatten(treedef, [
             jax.numpy.asarray(a) for a in new_leaves])
-        for j, t in enumerate(topics):
-            if t in st.framers:
-                d = {k[len(f"fr{j}_"):]: z[k] for k in z.files
-                     if k.startswith(f"fr{j}_")}
-                _restore_framer(st.framers[t], d)
-                if t in st.dispatchers and f"reasm{j}" in z.files:
-                    isudata, defrag = _restricted_loads(
-                        z[f"reasm{j}"].tobytes())
-                    st.dispatchers[t].isudata = isudata
-                    st.dispatchers[t].parser.defrag = defrag
-            else:
-                d = {k[len(f"rt{j}_"):]: z[k] for k in z.files
-                     if k.startswith(f"rt{j}_")}
-                _restore_rt_framer(st.rt_framers[t], d)
-                risudata, isudata, defrag = _restricted_loads(
-                    z[f"reasm{j}"].tobytes())
-                st.rt_framers[t].risudata = risudata
-                st.rt_framers[t].isudata = isudata
-                st.rt_framers[t].parser.defrag = defrag
-                b = {k[len(f"bd{j}_"):]: z[k] for k in z.files
-                     if k.startswith(f"bd{j}_")}
-                _restore_burst_demod(st.burst_demods[t], b)
-        for k in z.files:
-            if k.startswith("stat_"):
-                v = z[k]
-                setattr(st.stats, k[5:],
-                        float(v) if v.dtype.kind == "f" else int(v))
+        _load_topics(st, z, topics)
+        _load_stats(st, z)
+
+
+# ---- classic Station (tree/pfb channelizer + VfoBank groups) ----
+
+def _classic_device_tree(st) -> dict:
+    """The classic Station's device-side carries as ONE pytree: the
+    channelizer filter/oscillator states plus every bank's packed demod
+    states.  Key order is deterministic (jax sorts dict keys) and derived
+    from the station's own configuration."""
+    ch = st.channelizer
+    if hasattr(ch, "_main_state"):          # tree Channelizer
+        dev = {"main": ch._main_state, "sub": ch._sub_state}
+    else:                                   # PfbChannelizer
+        dev = {"pfb": ch._state, "phase": ch._phase}
+    dev["banks"] = {repr(k): st.banks[k].states for k in sorted(st.banks)}
+    return dev
+
+
+def _classic_set_device_tree(st, dev: dict) -> None:
+    ch = st.channelizer
+    if hasattr(ch, "_main_state"):
+        ch._main_state = dev["main"]
+        ch._sub_state = dev["sub"]
+    else:
+        ch._state = dev["pfb"]
+        ch._phase = dev["phase"]
+    from aero_tpu.parallel.mesh import shard_over_vfo
+    for k in st.banks:
+        st.banks[k].states = shard_over_vfo(st.banks[k].mesh,
+                                            dev["banks"][repr(k)])
+
+
+def save_classic_checkpoint(st, path: str):
+    """Classic-Station counterpart of ``save_station_checkpoint``:
+    channelizer carries, per-bank demod states, per-topic audio
+    accumulators, hunter scan positions, framers/reassembly/burst rings,
+    stats."""
+    leaves = jax.tree_util.tree_leaves(_classic_device_tree(st))
+    entries = {f"dev_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+
+    topics = sorted(set(st.framers) | set(st.rt_framers))
+    entries["meta_version"] = np.int64(FORMAT_VERSION)
+    entries["meta_kind"] = np.asarray("classic")
+    entries["meta_topics"] = np.asarray(topics)
+    entries["meta_n_dev"] = np.int64(len(leaves))
+    entries["meta_fs"] = np.int64(st.cfg.sample_rate)
+    if hasattr(st.channelizer, "_dc_state"):
+        entries["meta_dc"] = st.channelizer._dc_state.copy()
+    for j, t in enumerate(sorted(st._audio_buf)):
+        entries[f"abuf{j}"] = np.asarray(st._audio_buf[t], np.float32)
+    for j, t in enumerate(sorted(st.hunters)):
+        h = st.hunters[t]
+        entries[f"hunt{j}"] = np.asarray(
+            [h.freq_center, float(h.tries), float(h.scanned_all),
+             float(h._dcd)], np.float64)
+    _save_topics(st, entries, topics)
+    for k, v in vars(st.stats).items():
+        entries[f"stat_{k}"] = np.asarray(v)
+    np.savez_compressed(path, **entries)
+
+
+def load_classic_checkpoint(st, path: str):
+    with np.load(path, allow_pickle=False) as z:
+        version = int(z["meta_version"])
+        if version != FORMAT_VERSION:
+            raise ValueError(f"checkpoint version {version} != "
+                             f"{FORMAT_VERSION}")
+        if "meta_kind" not in z.files or str(z["meta_kind"]) != "classic":
+            raise ValueError("not a classic-Station checkpoint")
+        topics = [str(t) for t in z["meta_topics"]]
+        if topics != sorted(set(st.framers) | set(st.rt_framers)):
+            raise ValueError("checkpoint VFO topics do not match station "
+                             "configuration")
+        if int(z["meta_fs"]) != st.cfg.sample_rate:
+            raise ValueError("checkpoint sample_rate mismatch")
+        leaves, treedef = jax.tree_util.tree_flatten(
+            _classic_device_tree(st))
+        if int(z["meta_n_dev"]) != len(leaves):
+            raise ValueError("checkpoint device state does not match "
+                             "station configuration")
+        new_leaves = []
+        for i, cur in enumerate(leaves):
+            arr = z[f"dev_{i}"]
+            cur = np.asarray(cur)
+            if arr.shape != cur.shape or arr.dtype != cur.dtype:
+                raise ValueError(f"device leaf {i}: checkpoint "
+                                 f"{arr.shape}/{arr.dtype} != station "
+                                 f"{cur.shape}/{cur.dtype}")
+            new_leaves.append(arr)
+        _classic_set_device_tree(st, jax.tree_util.tree_unflatten(
+            treedef, [jax.numpy.asarray(a) for a in new_leaves]))
+        if "meta_dc" in z.files and hasattr(st.channelizer, "_dc_state"):
+            st.channelizer._dc_state = np.asarray(z["meta_dc"], np.float32)
+        for j, t in enumerate(sorted(st._audio_buf)):
+            st._audio_buf[t] = np.asarray(z[f"abuf{j}"], np.float32)
+        for j, t in enumerate(sorted(st.hunters)):
+            h = st.hunters[t]
+            v = z[f"hunt{j}"]
+            h.freq_center = float(v[0])
+            h.tries = int(v[1])
+            h.scanned_all = bool(v[2])
+            h._dcd = bool(v[3])
+        _load_topics(st, z, topics)
+        _load_stats(st, z)

@@ -271,3 +271,19 @@ class Station:
 
         self.stats.wideband_samples += len(iq_block)
         self.stats.wall_seconds += time.perf_counter() - t0
+
+    # ---- checkpoint/resume (runtime/checkpoint.py) ----
+
+    def save_checkpoint(self, path: str):
+        """Write the full classic-station state (channelizer carries, bank
+        demod states, audio accumulators, hunter positions, deframer locks
+        and trellis history, reassembly buffers, stats) to one .npz."""
+        from aero_tpu.runtime.checkpoint import save_classic_checkpoint
+        save_classic_checkpoint(self, path)
+
+    def load_checkpoint(self, path: str):
+        """Resume from ``save_checkpoint`` output; the station must have
+        the same VFO configuration (checked).  Processing continues
+        bit-identically with the saved run (tests/test_checkpoint.py)."""
+        from aero_tpu.runtime.checkpoint import load_classic_checkpoint
+        load_classic_checkpoint(self, path)

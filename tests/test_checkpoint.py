@@ -102,3 +102,55 @@ def test_checkpoint_rejects_wrong_config(tmp_path):
     st2 = FusedStation(other)
     with pytest.raises(ValueError):
         st2.load_checkpoint(ckpt)
+
+
+def test_classic_station_checkpoint_resume(tmp_path):
+    """The classic (tree-channelizer + VfoBank) Station is resumable too:
+    a mid-stream save/load into a fresh process continues identically —
+    channelizer filter carries, bank demod states, audio accumulators,
+    hunter positions and deframer state all survive."""
+    from aero_tpu.runtime.station import Station
+
+    cfg = load_ini(INI, is_text=True)
+    wide = _wideband()
+    B_blk = cfg.buflen_complex
+    w = np.concatenate([wide, np.zeros(4 * B_blk, np.complex64)])
+    n = (len(w) // B_blk) * B_blk
+    blocks = [w[i:i + B_blk] for i in range(0, n, B_blk)]
+
+    msgs_ref = []
+    st = Station(cfg, on_acars=lambda v, it: msgs_ref.append(
+        (v, it.message)))
+    for b in blocks:
+        st.process(b)
+    assert ("V1", "BEFORE RESTART") in msgs_ref
+    assert ("V1", "AFTER RESTART") in msgs_ref
+
+    split = len(blocks) // 2
+    msgs_a = []
+    st_a = Station(cfg, on_acars=lambda v, it: msgs_a.append(
+        (v, it.message)))
+    for b in blocks[:split]:
+        st_a.process(b)
+    ckpt = str(tmp_path / "classic.ckpt.npz")
+    st_a.save_checkpoint(ckpt)
+
+    msgs_b = []
+    st_b = Station(cfg, on_acars=lambda v, it: msgs_b.append(
+        (v, it.message)))
+    st_b.load_checkpoint(ckpt)
+    assert st_b.stats.su_ok == st_a.stats.su_ok
+    assert st_b.hunters["V1"].freq_center == st_a.hunters["V1"].freq_center
+    for b in blocks[split:]:
+        st_b.process(b)
+
+    assert msgs_a + msgs_b == msgs_ref
+    assert st_b.stats.su_ok == st.stats.su_ok
+    assert st_b.stats.frames == st.stats.frames
+
+    # a fused checkpoint will not load into a classic station
+    stf = FusedStation(cfg)
+    fused_ckpt = str(tmp_path / "fused.ckpt.npz")
+    stf.save_checkpoint(fused_ckpt)
+    with pytest.raises(ValueError, match="classic"):
+        Station(cfg).load_checkpoint(fused_ckpt)
