@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import socket
 import sys
 import time
@@ -60,6 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "rate group in ONE batched device call per drain "
                         "(protocol/batch_framing.py; host framing at "
                         "hundreds-of-VFOs scale)")
+    p.add_argument("--checkpoint", default=None, metavar="FILE",
+                   help="resume from FILE at startup when it exists, and "
+                        "save the full station state there periodically "
+                        "and at shutdown (runtime/checkpoint.py)")
+    p.add_argument("--checkpoint-every", type=float, default=300.0,
+                   metavar="SEC", help="seconds between checkpoint saves")
     p.add_argument("--no-hunt", action="store_true",
                    help="disable per-VFO signal hunting (the reference's "
                         "SignalHunter scan; ref decode/decode.cpp:161-226)")
@@ -116,6 +123,11 @@ def main(argv=None) -> int:
                      aircraft_db=args.aircraft_db,
                      hunt=not args.no_hunt)
         B = cfg.buflen_complex
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        st.load_checkpoint(args.checkpoint)
+        print(json.dumps({"resumed_from": args.checkpoint}),
+              file=sys.stderr, flush=True)
+    last_ckpt = time.time()
     last_stats = time.time()
 
     # SIGINT/SIGTERM stop the pump cleanly (then stats flush below);
@@ -138,7 +150,7 @@ def main(argv=None) -> int:
     notifier = EventNotifier(on_hangup=hup_stats).install()
 
     def pump(reader):
-        nonlocal last_stats
+        nonlocal last_stats, last_ckpt
         carry = np.zeros(0, np.complex64)
         for chunk in reader:
             if notifier.stop_requested:
@@ -147,6 +159,10 @@ def main(argv=None) -> int:
             while len(carry) >= B:
                 st.process(carry[:B])
                 carry = carry[B:]
+            if (args.checkpoint
+                    and time.time() - last_ckpt >= args.checkpoint_every):
+                last_ckpt = time.time()
+                st.save_checkpoint(args.checkpoint)
             if time.time() - last_stats >= args.stats_every:
                 last_stats = time.time()
                 s = st.stats
@@ -195,6 +211,9 @@ def main(argv=None) -> int:
     if voice_f is not None:
         final["voice_frames"] = s.voice_frames
         voice_f.close()
+    if args.checkpoint:
+        st.save_checkpoint(args.checkpoint)
+        final["checkpoint"] = args.checkpoint
     print(json.dumps({"final_stats": final}), file=sys.stderr)
     return 0
 
