@@ -191,6 +191,7 @@ class PChannelFramer:
         # bookkeeping via _finish_frame
         self.defer_decode = False
         self._pending: list = []
+        self._lock_gen = 0     # bumped per (re)lock; guards deferred relock
 
     # ---- UW search ----
 
@@ -238,6 +239,7 @@ class PChannelFramer:
                 self._calibrate_arm_flip(hard, end)
                 self.buf = self.buf[end + 1:]
                 self.locked = True
+                self._lock_gen += 1
                 self.viterbi.reset()
                 self.frame_index = 0
                 continue
@@ -289,6 +291,7 @@ class PChannelFramer:
             # feed loop's consume/search decisions don't wait on the
             # deferred decode
             self._maybe_relock(pre["uw_errors"])
+            pre["lock_gen"] = self._lock_gen
             self._pending.append(pre)
             return []
         decoded = self.viterbi.decode(pre["soft"])
@@ -355,8 +358,12 @@ class PChannelFramer:
         # in deferred mode this re-runs the prepare-time relock check with
         # the now-updated DCD, so lock loss lands before the next drain's
         # feed — same outcome as sequential whenever at most one frame per
-        # VFO arrives per drain (the steady-state case)
-        self._maybe_relock(pre["uw_errors"])
+        # VFO arrives per drain (the steady-state case).  Guarded by the
+        # lock generation: if a prepare-time relock already fired and a NEW
+        # sync was acquired in the same feed, this stale frame's UW errors
+        # must not unlock it.
+        if pre.get("lock_gen", self._lock_gen) == self._lock_gen:
+            self._maybe_relock(pre["uw_errors"])
 
         ev = FrameEvent(self.frame_index, infofield, su_ok,
                         pre["frameinfo"], pre["uw_errors"])

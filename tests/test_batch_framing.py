@@ -175,3 +175,31 @@ def test_fused_station_batch_host_framing():
     assert ("X", "BATCH XX") in results[True][0]
     assert ("Y", "BATCH YY") in results[True][0]
     assert results[True] == results[False]
+
+
+def test_deferred_relock_does_not_kill_new_sync():
+    """Edge guard: when a deferred frame's bad UW triggers a prepare-time
+    relock AND a new sync is acquired in the same feed, the stale frame's
+    _finish_frame bookkeeping must not unlock the NEW sync (lock
+    generation counter in PChannelFramer)."""
+    from aero_tpu.protocol.batch_framing import BatchPChannelFramerBank
+
+    rng = np.random.default_rng(3)
+    rate = 1200
+    spec = FRAME_SPECS[rate]
+    # sA: two all-zero-payload frames; corrupt the SECOND frame's trailing
+    # UW so the frame consumed after lock scores a bad UW at dcd=0
+    sA = build_p_frames([], rate, lead_frames=1).astype(np.float32) * 255
+    uw_start = 2 * spec.total_bits - spec.uw_bits
+    sA[uw_start:] = rng.integers(0, 256, spec.uw_bits)
+    # sB: a fresh sync followed by a good frame
+    good = b"".join(append_crc16_bytes(
+        bytes([0x71] + list(rng.integers(0, 256, 9)))) for _ in range(6))
+    sB = build_p_frames([good], rate, lead_frames=2
+                        ).astype(np.float32) * 255
+
+    bank = BatchPChannelFramerBank(rate, ["V"])
+    evs = bank.feed({"V": np.concatenate([sA, sB])})["V"]
+    f = bank.framers["V"]
+    assert f.locked, "stale deferred relock killed the new sync"
+    assert any(bytes(e.infofield) == good for e in evs)
