@@ -138,8 +138,8 @@ def test_pfb_adjacent_channel_rejection():
     rng = np.random.default_rng(13)
     dur = 7 * fs
     wb = np.zeros(dur, np.complex64)
-    for tag, delta in (("AA", 24000), ("BB", 36000)):
-        audio = msk_modulate(p_bits(tag), 24000, 1200.0, freq=1000.0)
+    for tag, delta, amp in (("AA", 24000, 1.0), ("BB", 36000, 10.0)):
+        audio = msk_modulate(p_bits(tag), 24000, 1200.0, freq=1000.0) * amp
         up = fs // 24000
         x = np.zeros(len(audio) * up, np.float32)
         x[::up] = audio * up
