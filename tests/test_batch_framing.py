@@ -203,3 +203,48 @@ def test_deferred_relock_does_not_kill_new_sync():
     f = bank.framers["V"]
     assert f.locked, "stale deferred relock killed the new sync"
     assert any(bytes(e.infofield) == good for e in evs)
+
+
+def test_bank_fuzz_equivalence_with_dropouts():
+    """Property fuzz: over noisy streams with mid-stream signal dropouts
+    and random chunk sizes, the bank and the sequential framers must
+    recover the SAME set of CRC-valid infofields.  (Full event equality
+    is guaranteed only in the steady state — junk frames at lock loss may
+    differ by the documented one-frame relock skew — but no VALID frame
+    may ever differ.)"""
+    from aero_tpu.protocol.batch_framing import BatchPChannelFramerBank
+    from aero_tpu.protocol.framing import PChannelFramer
+
+    rate = 600
+    for seed in range(4):
+        rng = np.random.default_rng(100 + seed)
+        fields = [b"".join(append_crc16_bytes(
+            bytes([0x71] + list(rng.integers(0, 256, 9))))
+            for _ in range(6)) for _ in range(3)]
+        bits = build_p_frames(fields, rate, lead_frames=2)
+        soft = np.clip(bits.astype(np.float32) * 255
+                       + rng.normal(0, 45, len(bits)), 0, 255)
+        # dropout: a noise gap mid-stream, then the signal resumes
+        gap = rng.integers(900, 2400)
+        cut = rng.integers(len(soft) // 3, len(soft) // 2)
+        soft = np.concatenate([
+            soft[:cut], rng.integers(0, 256, gap).astype(np.float32),
+            build_p_frames(fields[:1], rate, lead_frames=2
+                           ).astype(np.float32) * 255])
+
+        bank = BatchPChannelFramerBank(rate, ["F"])
+        seq = PChannelFramer(rate)
+        got_b, got_s = [], []
+        i = 0
+        while i < len(soft):
+            n = int(rng.integers(200, 1500))
+            chunk = soft[i:i + n]
+            i += n
+            got_b += bank.feed({"F": chunk})["F"]
+            got_s += seq.feed(chunk)
+
+        def valid(evs):
+            return sorted(bytes(e.infofield) for e in evs
+                          if all(e.su_crc_ok))
+        assert valid(got_b) == valid(got_s), f"seed {seed}"
+        assert len(valid(got_s)) > 0, f"seed {seed}: nothing decoded"
