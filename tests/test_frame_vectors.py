@@ -398,8 +398,7 @@ def ref_assemble_c(frames, lead_frames=2):
     uw_pair[0::2] = ref_uw_bits(UW_Q, 52)
     uw_pair[1::2] = ref_uw_bits(UW_I, 52)
     stream = []
-    carry = np.zeros(0, np.uint8)   # continuous encoder state via history
-    hist = np.zeros(6, np.uint8)
+    hist = np.zeros(6, np.uint8)    # continuous encoder state via history
     for j in range(nfr):
         k = j - lead_frames
         m = msgs[k] if 0 <= k < len(msgs) else np.zeros(2714, np.uint8)
@@ -416,7 +415,6 @@ def ref_assemble_c(frames, lead_frames=2):
             [ref_interleave(punct[i * 256:(i + 1) * 256], 4)
              for i in range(16)])
         stream.append(np.concatenate([inter, uw_pair]))
-    _ = carry
     return np.concatenate(stream)
 
 
