@@ -84,6 +84,32 @@ def main(argv=None) -> int:
           f"procs={args.num_processes} devices={len(devs)} "
           f"samples={total} max_err={err:.2e}", flush=True)
 
+    # ---- stage 1b: time-sharded WOLA channelizer across processes ----
+    # The PFB's filter history crosses the process boundary as a ppermute
+    # halo; result must be bit-identical to the local unsharded pass.
+    from aero_tpu.channelizer.pfb import pfb_channelize, pfb_init
+    from aero_tpu.parallel.time_shard import pfb_channelize_time_sharded
+    import jax.numpy as _jnp
+
+    Kp = 32
+    Mp = Kp // 2
+    Tp = len(devs) * Mp * 24
+    prng = np.random.default_rng(5)
+    xg = (prng.standard_normal(Tp)
+          + 1j * prng.standard_normal(Tp)).astype(np.complex64)
+    pfn = pfb_channelize_time_sharded(mesh, Kp)
+    from jax.experimental import multihost_utils as _mh
+    from jax.sharding import PartitionSpec as _P
+    lo_t = args.process_id * (Tp // args.num_processes)
+    x_loc = xg[lo_t: lo_t + Tp // args.num_processes]
+    x_gl = _mh.host_local_array_to_global_array(x_loc, mesh, _P("time"))
+    z_sh = np.asarray(_mh.process_allgather(
+        pfn(pfb_init(Kp), x_gl), tiled=True))
+    _, z_ref = pfb_channelize(pfb_init(Kp), _jnp.asarray(xg), Kp)
+    ok1b = bool(np.array_equal(z_sh, np.asarray(z_ref)))
+    print(f"MH-PFBTIME-{'OK' if ok1b else 'FAIL'} proc={args.process_id} "
+          f"K={Kp} T={Tp}", flush=True)
+
     # ---- stage 2: VFO-sharded demod bank across processes ----
     # The framework's primary scaling axis (SURVEY.md §2.5): one MSK
     # demod bank whose VFO rows live on different HOSTS, stepped as one
@@ -217,7 +243,7 @@ def main(argv=None) -> int:
           f"proc={args.process_id} vfos={n_v} "
           f"soft_match={100.0 * soft_close:.2f}% tel_match={tel_ok}",
           flush=True)
-    return 0 if (ok and ok2 and ok3) else 1
+    return 0 if (ok and ok1b and ok2 and ok3) else 1
 
 
 if __name__ == "__main__":

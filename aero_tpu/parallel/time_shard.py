@@ -85,3 +85,42 @@ def halo_decimate_time_sharded(mesh: Mesh, taps, factor: int,
     fn = jax.shard_map(local, mesh=mesh, in_specs=P(axis),
                        out_specs=P(axis), check_vma=False)
     return jax.jit(fn)
+
+
+def pfb_channelize_time_sharded(mesh: Mesh, K: int, taps_per_branch: int = 8,
+                                axis: str = "time"):
+    """Time-sharded WOLA polyphase channelizer: the wideband stream is
+    split over the ``axis`` mesh axis and every device computes its own
+    hops after receiving the L-M = (P-1/2)*K-sample filter history from
+    its left neighbor by ``ppermute`` (channelizer/pfb.py semantics,
+    SURVEY.md §2.5 stage sharding).
+
+    Returns a jitted fn ``(state, x) -> z``:
+      state [L-M] complex — the stream carry (consumed by shard 0; for
+      the next block pass ``x[-(L-M):]`` of the current global block);
+      x [T] complex sharded over ``axis`` (shard length % (K//2) == 0);
+      z [K, T//(K//2)] with the hop axis sharded over ``axis``.
+
+    Bit-identical to the unsharded ``pfb_channelize`` on the same block:
+    every hop sees exactly the same L input samples.
+    """
+    from aero_tpu.channelizer.pfb import pfb_channelize
+
+    M = K // 2
+    L = taps_per_branch * K
+    hist = L - M
+
+    def local(state, x_shard):
+        n = lax.axis_index(axis)
+        size = lax.axis_size(axis)
+        tail = x_shard[-hist:]
+        perm = [(i, i + 1) for i in range(size - 1)]
+        halo = lax.ppermute(tail, axis, perm)
+        halo = jnp.where(n == 0, state, halo)
+        _, z = pfb_channelize(halo, x_shard, K,
+                              taps_per_branch=taps_per_branch)
+        return z
+
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(P(), P(axis)),
+                       out_specs=P(None, axis), check_vma=False)
+    return jax.jit(fn)

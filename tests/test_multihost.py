@@ -51,6 +51,7 @@ def test_two_process_halo_exchange():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert f"MH-SELFTEST-OK proc={i}" in out, out[-3000:]
+        assert f"MH-PFBTIME-OK proc={i}" in out, out[-3000:]
         assert f"MH-VFOBANK-OK proc={i}" in out, out[-3000:]
         # stage 3 (VERDICT r3 item 6): the full FusedStation program
         # sharded over the 2-process global mesh matches a local run
