@@ -113,6 +113,10 @@ def pfb_channelize_time_sharded(mesh: Mesh, K: int, taps_per_branch: int = 8,
     def local(state, x_shard):
         n = lax.axis_index(axis)
         size = lax.axis_size(axis)
+        assert x_shard.shape[-1] >= hist, (
+            f"time shard ({x_shard.shape[-1]}) shorter than the PFB "
+            f"history ({hist}): the halo would need to span multiple "
+            f"neighbors — use longer blocks or fewer time shards")
         tail = x_shard[-hist:]
         perm = [(i, i + 1) for i in range(size - 1)]
         halo = lax.ppermute(tail, axis, perm)
