@@ -84,6 +84,23 @@ def main(argv=None) -> int:
           f"procs={args.num_processes} devices={len(devs)} "
           f"samples={total} max_err={err:.2e}", flush=True)
 
+    # aggregate throughput on the N-process mesh (BASELINE 'measured at
+    # N>=2 hosts'; virtual CPU devices here, so this records the
+    # cross-process program's rate, not chip speed)
+    import time as _time
+    gx = scatter_time_shards(mesh, local)
+    r = fn(gx)
+    jax.block_until_ready(r)
+    t0 = _time.perf_counter()
+    iters = 20
+    for _ in range(iters):
+        r = fn(gx)
+    jax.block_until_ready(r)
+    dt = _time.perf_counter() - t0
+    print(f"MH-THROUGHPUT proc={args.process_id} "
+          f"{iters * total / dt / 1e6:.1f} MS/s aggregate over "
+          f"{args.num_processes} processes", flush=True)
+
     # ---- stage 1b: time-sharded WOLA channelizer across processes ----
     # The PFB's filter history crosses the process boundary as a ppermute
     # halo; result must be bit-identical to the local unsharded pass.
