@@ -71,7 +71,11 @@ def main(argv=None) -> int:
         burst=args.burst,
         station_id=args.station_id,
         fmt=args.format,
-        forwarders=args.forwarder,
+        # the reference's -f accepts a comma-separated list in one flag
+        # (FORMAT1=URL1,FORMAT2=URL2; ref decode/main.cpp:26-29) — accept
+        # both that form and repeated flags
+        forwarders=[s for v in args.forwarder
+                    for s in v.split(",") if s],
         disable_reassembly=args.disable_reassembly,
         no_signal_exit=args.no_signal_exit,
         voice_out=args.voice_out,

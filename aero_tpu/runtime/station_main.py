@@ -89,7 +89,10 @@ def main(argv=None) -> int:
     from aero_tpu.protocol.acars_apps import enrich
 
     cfg = load_ini(args.settings)
-    targets = [ForwardTarget(parse_forwarder(s)) for s in args.forwarder]
+    # comma-separated lists in one flag match the reference CLI
+    # (ref decode/main.cpp:26-29); repeated flags also work
+    targets = [ForwardTarget(parse_forwarder(s))
+               for v in args.forwarder for s in v.split(",") if s]
     # egress decoupled from the decode loop (ref decode.cpp:368-416) —
     # a stalled TCP sink must not stall the station
     fwd = AsyncForwardQueue(targets) if targets else None

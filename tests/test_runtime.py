@@ -305,3 +305,15 @@ def test_station_cli_compile_cache_and_async_forwarder(tmp_path):
     # the persistent cache captured at least one compiled executable
     assert cache.is_dir() and any(cache.iterdir())
     srv.close()
+
+
+def test_forwarder_flag_comma_list():
+    """The reference's -f accepts FORMAT1=URL1,FORMAT2=URL2 in one flag
+    (ref decode/main.cpp:26-29); both that form and repeated -f work."""
+    from aero_tpu.runtime.decode_main import build_parser
+    args = build_parser().parse_args(
+        ["-b", "600", "-f", "jsondump=tcp://a:1,text=udp://b:2",
+         "-f", "jaero=tcp://c:3"])
+    specs = [s for v in args.forwarder for s in v.split(",") if s]
+    assert specs == ["jsondump=tcp://a:1", "text=udp://b:2",
+                     "jaero=tcp://c:3"]
