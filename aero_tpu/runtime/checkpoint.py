@@ -352,6 +352,8 @@ def load_classic_checkpoint(st, path: str):
         for j, t in enumerate(sorted(st._audio_buf)):
             st._audio_buf[t] = np.asarray(z[f"abuf{j}"], np.float32)
         for j, t in enumerate(sorted(st.hunters)):
+            if f"hunt{j}" not in z.files:
+                continue   # checkpoint written with hunting disabled
             h = st.hunters[t]
             v = z[f"hunt{j}"]
             h.freq_center = float(v[0])
