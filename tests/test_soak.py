@@ -142,3 +142,93 @@ def test_regression_fixture_jsondump():
     assert acars["label"] == EXPECTED_FIXTURE["label"]
     assert acars["msg_text"] == EXPECTED_FIXTURE["msg_text"]
     assert j["isu"]["dst"]["addr"] == EXPECTED_FIXTURE["src"]
+
+
+def test_fused_everything_at_once_with_restart():
+    """Interaction soak for the round-4 features together: one
+    FusedStation with batched host framing AND hunting runs a mixed
+    stream — an on-tune 1200 carrier, a 600 carrier 1500 Hz OFF-center
+    that only the hunter can find, and a mid-stream T burst — with a
+    checkpoint/restore into a fresh process halfway through.  Every
+    message must decode across the restart."""
+    from scipy.signal import firwin, lfilter
+    from aero_tpu.runtime.fused_station import FusedStation
+    from aero_tpu.models.msk import msk_modulate as mod
+    from aero_tpu.protocol.rt_framing import build_t_burst
+
+    fs, center = 288000, 1545000000
+    ini = (f"sample_rate={fs}\ncenter_frequency={center}\n[vfos]\nsize=3\n"
+           f"1\\frequency={center + 24000}\n1\\data_rate=1200\n1\\topic=ON\n"
+           f"2\\frequency={center - 24000}\n2\\data_rate=600\n2\\topic=OFF\n"
+           f"3\\frequency={center + 60000}\n3\\data_rate=600\n3\\topic=BR\n"
+           "3\\burst=1\n")
+    cfg = load_ini(ini, is_text=True)
+
+    def up_wb(audio, fsa, delta, dur):
+        u = fs // fsa
+        x = np.zeros(len(audio) * u, np.float32)
+        x[::u] = np.asarray(audio) * u
+        bb = lfilter(firwin(511, 1.0 / u), 1.0, x).astype(np.complex64)
+        t = np.arange(len(bb)) / fs
+        w = (bb * np.exp(2j * np.pi * delta * t)).astype(np.complex64)
+        out = np.zeros(dur, np.complex64)
+        out[: min(len(w), dur)] = w[:dur]
+        return out
+
+    rng = np.random.default_rng(31)
+    dur = 14 * fs
+    wb = np.zeros(dur, np.complex64)
+    # ON: on-tune 1200, repeating
+    f_on = _acars_fields("SOAK ON TUNE", 0x111111)
+    fill = append_crc16_bytes(bytes([0x01] + [0] * 9))
+    while len(f_on[-1]) < 72:
+        f_on[-1] += fill
+    bits_on = build_p_frames(f_on * 8, 1200, lead_frames=3)
+    wb += up_wb(mod(bits_on, 24000, 1200.0, freq=1000.0), 24000, 24000, dur)
+    # OFF: 600 bps at 2500 Hz audio (outside lockingbw of the 1000 tune)
+    f_off = _acars_fields("SOAK HUNTED", 0x222222)
+    bits_off = build_p_frames(f_off * 5, 600, lead_frames=3)
+    wb += up_wb(mod(bits_off, 12000, 600.0, freq=2500.0), 12000, -24000, dur)
+    # BR: one T burst arriving in the second half (after the restart)
+    bsus = segment_isu(make_acars_userdata("2", "NSOAK", "!", "H1", "A",
+                                           "SOAK BURST"), 0x333333, 0x41)
+    bt = build_t_burst(0x333333, 0x41, bsus, preamble_bits=96)
+    burst_audio = np.concatenate([np.zeros(8 * 12000, np.float32),
+                                  mod(bt, 12000, 600.0, freq=3000.0) * 1.6])
+    wb += up_wb(burst_audio, 12000, 60000, dur)
+    wb += (rng.normal(0, 0.003, dur)
+           + 1j * rng.normal(0, 0.003, dur)).astype(np.complex64)
+
+    def mk(sink):
+        return FusedStation(cfg, ingest_dtype="int16", hunt_max_tries=2,
+                            batch_host_framing=True,
+                            on_acars=lambda v, it: sink.append(
+                                (v, it.message)))
+
+    w = np.concatenate([wb, np.zeros(3 * 96000, np.complex64)])
+    got = []
+    st = mk(got)
+    blocks = [w[i:i + st.block_len]
+              for i in range(0, (len(w) // st.block_len) * st.block_len,
+                             st.block_len)]
+    half = len(blocks) // 2
+    for b in blocks[:half]:
+        st.process(b)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        ck = os.path.join(d, "soak.npz")
+        st.save_checkpoint(ck)
+        st2 = mk(got)
+        st2.load_checkpoint(ck)
+        for b in blocks[half:]:
+            st2.process(b)
+        st2.flush()
+
+    texts = {m for _, m in got}
+    assert "SOAK ON TUNE" in texts, sorted(texts)
+    assert "SOAK HUNTED" in texts, sorted(texts)
+    assert "SOAK BURST" in texts, sorted(texts)
+    # hunter state survived the restart and sits near the real carrier
+    tel = st2.vfo_telemetry()
+    assert abs(tel["OFF"]["freq"] - 2500.0) < 200.0, tel["OFF"]
+    assert tel["BR"]["packets"] >= 1
