@@ -71,3 +71,31 @@ def test_capture_stream_no_backend_errors(monkeypatch):
     monkeypatch.setattr(ap.shutil, "which", lambda name: None)
     with pytest.raises(RuntimeError, match="no audio capture backend"):
         next(ap.capture_stream("default", 48000, 4800))
+
+
+def test_record_tee_writes_wav(tmp_path):
+    """--record tees everything published to a WAV (the capture half of
+    a parity fixture; README recipe)."""
+    import subprocess
+    import wave as wavemod
+    import numpy as np
+
+    wav_in = tmp_path / "in.wav"
+    rec = tmp_path / "rec.wav"
+    pcm = (np.sin(2 * np.pi * 1000 * np.arange(4800) / 48000)
+           * 20000).astype("<i2")
+    with wavemod.open(str(wav_in), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(48000)
+        w.writeframes(pcm.tobytes())
+
+    r = subprocess.run(
+        [sys.executable, _TOOL, str(wav_in),
+         "--bind", "tcp://127.0.0.1:0", "--record", str(rec)],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-2000:]
+    with wavemod.open(str(rec), "rb") as w:
+        assert w.getframerate() == 48000
+        got = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+    assert np.array_equal(got, pcm)

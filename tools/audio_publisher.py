@@ -93,6 +93,11 @@ def main():
                     help="pace output at the sample rate")
     ap.add_argument("--loop", action="store_true")
     ap.add_argument("--legacy-topic-len5", action="store_true")
+    ap.add_argument("--record", default=None, metavar="WAV",
+                    help="also tee everything published to this WAV file "
+                         "(s16le mono) — produces the capture half of a "
+                         "parity fixture while the reference decodes the "
+                         "live stream (tools/parity_check.py, README)")
     args = ap.parse_args()
 
     import zmq
@@ -101,6 +106,8 @@ def main():
     sock.bind(args.bind)
     time.sleep(0.3)
 
+    rec = {"w": None, "rate": None}
+
     def send(rate, payload):
         t = args.topic.encode()
         if args.legacy_topic_len5:
@@ -108,7 +115,23 @@ def main():
         sock.send(t, zmq.SNDMORE)
         sock.send(struct.pack("<I", rate), zmq.SNDMORE)
         sock.send(payload)
+        if args.record:
+            if rec["w"] is None:
+                rec["w"] = wave.open(args.record, "wb")
+                rec["w"].setnchannels(1)
+                rec["w"].setsampwidth(2)
+                rec["w"].setframerate(rate)
+                rec["rate"] = rate
+            rec["w"].writeframes(payload)
 
+    try:
+        _pump(args, send)
+    finally:
+        if rec["w"] is not None:
+            rec["w"].close()
+
+
+def _pump(args, send):
     while True:
         if args.input.startswith("dev:"):
             rate = args.rate
