@@ -134,7 +134,7 @@ def main(argv=None) -> int:
     # per-row local reference.
     import jax.numpy as jnp
     from jax.experimental import multihost_utils
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
     from aero_tpu.models.msk import (make_config, msk_init, msk_step,
                                      msk_modulate)
 

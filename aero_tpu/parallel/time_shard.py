@@ -12,7 +12,6 @@ chains over a time-sharded wideband stream.
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 import jax
