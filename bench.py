@@ -42,8 +42,12 @@ import time
 import numpy as np
 
 
+_PENDING = []
+
+
 def _measure(run_batch, work_per_batch, repeats=7):
-    """Time ``repeats`` batches; return rates dict.
+    """Register a warmed, timed batch; repeats run LATER via
+    ``_run_rounds`` and fill the returned dict in place.
 
     ``best`` is the speed-of-light estimator (min time — standard under
     external service noise on a tunneled chip, and the methodology of
@@ -51,11 +55,32 @@ def _measure(run_batch, work_per_batch, repeats=7):
     that made r01 vs r02 single-shot numbers incomparable (r02 verdict
     item 4): spread = (worst-best)/median.
     """
-    ts = sorted(run_batch() for _ in range(repeats))
-    med = ts[len(ts) // 2]
-    return {"best": work_per_batch / ts[0],
-            "median": work_per_batch / med,
-            "spread_pct": 100.0 * (ts[-1] - ts[0]) / med}
+    m = {"best": 0.0, "median": 0.0, "spread_pct": 0.0}
+    _PENDING.append((run_batch, work_per_batch, repeats, m))
+    return m
+
+
+def _run_rounds():
+    """Round-robin the registered batches: one repeat of EACH metric per
+    round (A,B,C,...,A,B,C,... instead of A*7,B*7,...), so a transient
+    service stall on the tunneled chip degrades every metric slightly
+    instead of wiping one metric's entire repeat set (observed 2026-08-21:
+    a multi-minute stall collapsed cascade_full_chain 4x while every
+    other metric was normal)."""
+    if not _PENDING:
+        return
+    times = [[] for _ in _PENDING]
+    rounds = max(r for _, _, r, _ in _PENDING)
+    for rd in range(rounds):
+        for i, (batch, _, reps, _) in enumerate(_PENDING):
+            if rd < reps:
+                times[i].append(batch())
+    for i, (_, work, _, m) in enumerate(_PENDING):
+        ts = sorted(times[i])
+        med = ts[len(ts) // 2]
+        m.update(best=work / ts[0], median=work / med,
+                 spread_pct=100.0 * (ts[-1] - ts[0]) / med)
+    _PENDING.clear()
 
 
 def _fmt(m, scale=1e6):
@@ -140,7 +165,7 @@ def bench_full_chain(B=50, n_iter=10):
         return time.perf_counter() - t0
 
     m = _measure(batch, n_iter * L_wb)
-    return m, m["best"] / fs_wb, B
+    return m, B
 
 
 def bench_full_chain_pfb(B=50, n_iter=10):
@@ -206,7 +231,7 @@ def bench_full_chain_pfb(B=50, n_iter=10):
         return time.perf_counter() - t0
 
     m = _measure(batch, n_iter * L_wb)
-    return m, m["best"] / fs_wb, B
+    return m, B
 
 
 def bench_oqpsk_demod(B=64, n_iter=60):
@@ -369,46 +394,60 @@ def bench_viterbi(B=128, T=2496, n_iter=40):
 
 def main():
     full = "--quick" not in sys.argv
+    FS_WB = 1536000.0
     extras = {}
-    chain, stations, B = bench_full_chain_pfb()
+    fails = {}
+
+    def setup(name, fn):
+        try:
+            return fn()
+        except Exception as e:                     # noqa: BLE001
+            fails[name] = e
+            return None
+
+    chain_r = setup("pfb_full_chain", bench_full_chain_pfb)
+    casc_r = demod = oq = bw = vit = None
+    if full:
+        casc_r = setup("cascade_full_chain", bench_full_chain)
+        demod = setup("demod_only", bench_demod_only)
+        oq = setup("oqpsk_demod", bench_oqpsk_demod)
+        bw = setup("burst_window", bench_burst_window)
+        vit = setup("pallas_viterbi", bench_viterbi)
+
+    # all metrics repeat round-robin so a service stall cannot wipe one
+    _run_rounds()
+
+    for name, e in fails.items():
+        print(f"{name} failed: {e}", file=sys.stderr)
+
+    chain, B = chain_r if chain_r else ({"best": 0, "median": 0,
+                                         "spread_pct": 0}, 0)
+    stations = chain["best"] / FS_WB
     print(f"pfb_full_chain: {_fmt(chain)} MS/s wideband, {stations:.1f} "
           f"stations x {B} VFOs per chip", file=sys.stderr)
+    if casc_r:
+        casc, _ = casc_r
+        print(f"cascade_full_chain: {_fmt(casc)} MS/s wideband, "
+              f"{casc['best'] / FS_WB:.1f} stations (reference-shaped "
+              f"tree)", file=sys.stderr)
+        extras["cascade_best_msps"] = round(casc["best"] / 1e6, 1)
+    if demod:
+        print(f"demod_only: {_fmt(demod)} MS/s audio", file=sys.stderr)
+        extras["demod_best_msps"] = round(demod["best"] / 1e6, 1)
+    if oq:
+        print(f"oqpsk_demod: {_fmt(oq)} MS/s audio (10500 bps C-band)",
+              file=sys.stderr)
+        extras["oqpsk_best_msps"] = round(oq["best"] / 1e6, 1)
+    if bw:
+        print(f"burst_window: {_fmt(bw)} MS/s audio (batched R/T "
+              f"candidate windows)", file=sys.stderr)
+        extras["burst_best_msps"] = round(bw["best"] / 1e6, 1)
+    if vit:
+        print(f"pallas_viterbi: {_fmt(vit)} Mbit/s decoded",
+              file=sys.stderr)
+        extras["viterbi_best_mbps"] = round(vit["best"] / 1e6, 1)
+
     if full:
-        try:
-            casc, casc_st, _ = bench_full_chain()
-            print(f"cascade_full_chain: {_fmt(casc)} MS/s wideband, "
-                  f"{casc_st:.1f} stations (reference-shaped tree)",
-                  file=sys.stderr)
-            extras["cascade_best_msps"] = round(casc["best"] / 1e6, 1)
-        except Exception as e:                     # noqa: BLE001
-            print(f"cascade_full_chain failed: {e}", file=sys.stderr)
-        try:
-            demod = bench_demod_only()
-            print(f"demod_only: {_fmt(demod)} MS/s audio", file=sys.stderr)
-            extras["demod_best_msps"] = round(demod["best"] / 1e6, 1)
-        except Exception as e:                     # noqa: BLE001
-            print(f"demod_only failed: {e}", file=sys.stderr)
-        try:
-            oq = bench_oqpsk_demod()
-            print(f"oqpsk_demod: {_fmt(oq)} MS/s audio (10500 bps C-band)",
-                  file=sys.stderr)
-            extras["oqpsk_best_msps"] = round(oq["best"] / 1e6, 1)
-        except Exception as e:                     # noqa: BLE001
-            print(f"oqpsk_demod failed: {e}", file=sys.stderr)
-        try:
-            bw = bench_burst_window()
-            print(f"burst_window: {_fmt(bw)} MS/s audio (batched R/T "
-                  f"candidate windows)", file=sys.stderr)
-            extras["burst_best_msps"] = round(bw["best"] / 1e6, 1)
-        except Exception as e:                     # noqa: BLE001
-            print(f"burst_window failed: {e}", file=sys.stderr)
-        try:
-            vit = bench_viterbi()
-            print(f"pallas_viterbi: {_fmt(vit)} Mbit/s decoded",
-                  file=sys.stderr)
-            extras["viterbi_best_mbps"] = round(vit["best"] / 1e6, 1)
-        except Exception as e:                     # noqa: BLE001
-            print(f"pallas_viterbi failed: {e}", file=sys.stderr)
         try:
             # last: end-to-end leaves the tunnel queue saturated
             rtf, B2 = bench_fused_station()
