@@ -162,35 +162,60 @@ class BatchPChannelFramerBank:
         return self.flush()
 
     def flush(self) -> dict:
+        """Decode everything pending, replay bookkeeping, and iterate to a
+        fixpoint: if a frame's bookkeeping LOSES the lock, frames of that
+        VFO consumed after it are REWOUND (their raw bits go back to the
+        framer's buffer and the UW search re-runs) — exactly what the
+        sequential framer would have done mid-buffer, so a signal that
+        resumes right after a dropout is re-acquired without losing a
+        frame (caught by a 50-seed fuzz, 2026-08-21)."""
         from aero_tpu.protocol.framing import bits_to_bytes_lsb
-        pend = [(t, pre) for t, f in self.framers.items()
-                for pre in f._pending]
         out = {t: [] for t in self.framers}
-        if not pend:
-            return out
-        soft = np.stack([pre["soft"] for _, pre in pend])
-        prefixes = np.stack([pre["prefix"] for _, pre in pend])
-        # pad the batch to the next power of two so the jit cache stays
-        # bounded as the per-drain frame count fluctuates
-        n = len(pend)
-        n_pad = 1 << (n - 1).bit_length()
-        if n_pad > n:
-            soft = np.concatenate(
-                [soft, np.full((n_pad - n,) + soft.shape[1:], 128.0,
-                               soft.dtype)])
-            prefixes = np.concatenate(
-                [prefixes, np.full((n_pad - n,) + prefixes.shape[1:], 128.0,
-                                   prefixes.dtype)])
-        dec = batch_decode_p_frames(jnp.asarray(soft), jnp.asarray(prefixes),
-                                    rate=self.rate,
-                                    use_pallas=self.use_pallas,
-                                    pre_deinterleaved=True)
-        info_bits = np.asarray(dec["info_bits"])
-        su_ok = np.asarray(dec["su_ok"])
-        for i, (t, pre) in enumerate(pend):
-            f = self.framers[t]
-            out[t].append(f._finish_frame(
-                pre, bits_to_bytes_lsb(info_bits[i]), su_ok[i]))
-        for f in self.framers.values():
-            f._pending.clear()
-        return out
+        while True:
+            pend = [(t, pre) for t, f in self.framers.items()
+                    for pre in f._pending]
+            if not pend:
+                return out
+            soft = np.stack([pre["soft"] for _, pre in pend])
+            prefixes = np.stack([pre["prefix"] for _, pre in pend])
+            # pad the batch to the next power of two so the jit cache
+            # stays bounded as the per-drain frame count fluctuates
+            n = len(pend)
+            n_pad = 1 << (n - 1).bit_length()
+            if n_pad > n:
+                soft = np.concatenate(
+                    [soft, np.full((n_pad - n,) + soft.shape[1:], 128.0,
+                                   soft.dtype)])
+                prefixes = np.concatenate(
+                    [prefixes,
+                     np.full((n_pad - n,) + prefixes.shape[1:], 128.0,
+                             prefixes.dtype)])
+            dec = batch_decode_p_frames(
+                jnp.asarray(soft), jnp.asarray(prefixes), rate=self.rate,
+                use_pallas=self.use_pallas, pre_deinterleaved=True)
+            info_bits = np.asarray(dec["info_bits"])
+            su_ok = np.asarray(dec["su_ok"])
+
+            idx = 0
+            rewound = False
+            by_topic = {t: [] for t in self.framers}
+            for t, pre in pend:
+                by_topic[t].append((idx, pre))
+                idx += 1
+            for t, items in by_topic.items():
+                f = self.framers[t]
+                f._pending.clear()
+                for k, (i, pre) in enumerate(items):
+                    out[t].append(f._finish_frame(
+                        pre, bits_to_bytes_lsb(info_bits[i]), su_ok[i]))
+                    if not f.locked and k + 1 < len(items):
+                        # lock lost: un-consume the later frames and
+                        # re-run the UW search over them + the buffer
+                        tail = [p["raw"] for _, p in items[k + 1:]]
+                        f.buf = np.concatenate(tail + [f.buf])
+                        evs = f.feed(np.zeros(0, np.float32))
+                        assert not evs
+                        rewound = True
+                        break
+            if not rewound:
+                return out

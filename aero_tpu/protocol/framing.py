@@ -283,7 +283,10 @@ class PChannelFramer:
         if self.defer_decode:
             # queue for a batched device decode; carry the 62-soft-bit
             # trellis history manually so checkpoints and a later switch
-            # back to sequential mode stay bit-consistent
+            # back to sequential mode stay bit-consistent.  The raw
+            # (unflipped) frame is kept so the bank can REWIND frames
+            # consumed after a deferred lock loss (batch_framing.py).
+            pre["raw"] = frame
             pre["prefix"] = self.viterbi._carry.copy()
             self.viterbi._carry = pre["soft"][-62:].astype(np.float32)
             # relock on UW mismatch is evaluated here (with the dcd as of

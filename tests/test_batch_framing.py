@@ -1,6 +1,7 @@
 """Batched device-side frame decoding tests."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from aero_tpu.protocol.batch_framing import (batch_decode_p_frames,
@@ -248,3 +249,46 @@ def test_bank_fuzz_equivalence_with_dropouts():
                           if all(e.su_crc_ok))
         assert valid(got_b) == valid(got_s), f"seed {seed}"
         assert len(valid(got_s)) > 0, f"seed {seed}: nothing decoded"
+
+
+@pytest.mark.parametrize("seed", [18, 23])
+def test_bank_rewind_on_deferred_lock_loss(seed):
+    """Regression for the rewind-on-relock fix: these seeds previously
+    made the bank consume one junk frame past a lock loss, re-syncing a
+    frame late and LOSING one good frame of the resumed signal (50-seed
+    fuzz, 2026-08-21).  Bank and sequential must recover identical valid
+    frame sets."""
+    from aero_tpu.protocol.batch_framing import BatchPChannelFramerBank
+    from aero_tpu.protocol.framing import PChannelFramer
+
+    rate = 600
+    rng = np.random.default_rng(1000 + seed)
+    fields = [b"".join(append_crc16_bytes(
+        bytes([0x71] + list(rng.integers(0, 256, 9))))
+        for _ in range(6)) for _ in range(3)]
+    bits = build_p_frames(fields, rate, lead_frames=2)
+    soft = np.clip(bits.astype(np.float32) * 255
+                   + rng.normal(0, 55, len(bits)), 0, 255)
+    gap = rng.integers(600, 3000)
+    cut = rng.integers(len(soft) // 4, 3 * len(soft) // 4)
+    soft = np.concatenate([
+        soft[:cut], rng.integers(0, 256, gap).astype(np.float32),
+        build_p_frames(fields[:1], rate, lead_frames=2
+                       ).astype(np.float32) * 255])
+
+    bank = BatchPChannelFramerBank(rate, ["F"])
+    seq = PChannelFramer(rate)
+    gb, gs = [], []
+    i = 0
+    while i < len(soft):
+        n = int(rng.integers(150, 2000))
+        chunk = soft[i:i + n]
+        i += n
+        gb += bank.feed({"F": chunk})["F"]
+        gs += seq.feed(chunk)
+
+    def valid(evs):
+        return sorted(bytes(e.infofield) for e in evs
+                      if all(e.su_crc_ok))
+    assert valid(gb) == valid(gs)
+    assert len(valid(gs)) > 0
