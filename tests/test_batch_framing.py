@@ -292,3 +292,49 @@ def test_bank_rewind_on_deferred_lock_loss(seed):
                       if all(e.su_crc_ok))
     assert valid(gb) == valid(gs)
     assert len(valid(gs)) > 0
+
+
+@pytest.mark.parametrize("seed", [2001, 2002, 2003])
+def test_bank_equivalence_10500_arm_flips(seed):
+    """Bank vs sequential at 10500 (arm-duplicated UW): global inversion
+    (seed 2001) and single-arm flip (seed 2002) streams with a dropout
+    must recover identical valid frame sets (24-seed fuzz, 2026-08-21)."""
+    from aero_tpu.protocol.batch_framing import BatchPChannelFramerBank
+    from aero_tpu.protocol.framing import PChannelFramer
+
+    rate = 10500
+    per = FRAME_SPECS[rate].payload_info_bits // 96
+    rng = np.random.default_rng(seed)
+    fields = [b"".join(append_crc16_bytes(
+        bytes([0x71] + list(rng.integers(0, 256, 9))))
+        for _ in range(per)) for _ in range(2)]
+    bits = build_p_frames(fields, rate, lead_frames=1)
+    soft = np.clip(bits.astype(np.float32) * 255
+                   + rng.normal(0, 50, len(bits)), 0, 255)
+    if seed % 3 == 1:
+        soft = 255.0 - soft
+    elif seed % 3 == 2:
+        flip = (np.arange(len(soft)) % 2 == 0)
+        soft = np.where(flip, 255.0 - soft, soft)
+    gap = rng.integers(800, 2500)
+    cut = rng.integers(len(soft) // 3, 2 * len(soft) // 3)
+    soft = np.concatenate([
+        soft[:cut], rng.integers(0, 256, gap).astype(np.float32),
+        build_p_frames(fields[:1], rate, lead_frames=1
+                       ).astype(np.float32) * 255])
+
+    bank = BatchPChannelFramerBank(rate, ["F"])
+    seq = PChannelFramer(rate)
+    gb, gs = [], []
+    i = 0
+    while i < len(soft):
+        n = int(rng.integers(900, 7000))
+        chunk = soft[i:i + n]
+        i += n
+        gb += bank.feed({"F": chunk})["F"]
+        gs += seq.feed(chunk)
+
+    def valid(evs):
+        return sorted(bytes(e.infofield) for e in evs
+                      if all(e.su_crc_ok))
+    assert valid(gb) == valid(gs)
