@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import importlib
 import io
+import os
 import pickle
 
 import numpy as np
@@ -195,7 +196,31 @@ def _load_stats(st, z) -> None:
                     float(v) if v.dtype.kind == "f" else int(v))
 
 
-def save_station_checkpoint(st, path: str):
+def _atomic_savez(path: str, entries: dict) -> None:
+    """Write ``entries`` to EXACTLY ``path``: np.savez_compressed given a
+    bare name appends '.npz', so a --checkpoint station.ckpt save would
+    land at station.ckpt.npz while resume checks station.ckpt — passing
+    an open file object pins the name.  The temp-file + os.replace dance
+    means a crash mid-write (the very scenario checkpoints exist for)
+    can never leave a truncated archive as the only copy."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, **entries)
+    os.replace(tmp, path)
+
+
+def load_residual(path: str) -> np.ndarray:
+    """Wideband IQ buffered by the CALLER at save time (e.g. the pump's
+    partial block in station_main, up to buflen-1 samples) — restoring it
+    keeps the resumed stream sample-contiguous with the capture.  Empty
+    if the checkpoint carries none."""
+    with np.load(path, allow_pickle=False) as z:
+        if "meta_residual" in z.files:
+            return np.asarray(z["meta_residual"], np.complex64)
+    return np.zeros(0, np.complex64)
+
+
+def save_station_checkpoint(st, path: str, residual=None):
     """Write a FusedStation checkpoint.  Drains pending/in-flight blocks
     first so host bookkeeping is consistent with the device state."""
     st.flush()
@@ -212,7 +237,9 @@ def save_station_checkpoint(st, path: str):
     _save_topics(st, entries, topics)
     for k, v in vars(st.stats).items():
         entries[f"stat_{k}"] = np.asarray(v)
-    np.savez_compressed(path, **entries)
+    if residual is not None:
+        entries["meta_residual"] = np.asarray(residual, np.complex64)
+    _atomic_savez(path, entries)
 
 
 def load_station_checkpoint(st, path: str):
@@ -288,7 +315,7 @@ def _classic_set_device_tree(st, dev: dict) -> None:
                                             dev["banks"][repr(k)])
 
 
-def save_classic_checkpoint(st, path: str):
+def save_classic_checkpoint(st, path: str, residual=None):
     """Classic-Station counterpart of ``save_station_checkpoint``:
     channelizer carries, per-bank demod states, per-topic audio
     accumulators, hunter scan positions, framers/reassembly/burst rings,
@@ -314,7 +341,9 @@ def save_classic_checkpoint(st, path: str):
     _save_topics(st, entries, topics)
     for k, v in vars(st.stats).items():
         entries[f"stat_{k}"] = np.asarray(v)
-    np.savez_compressed(path, **entries)
+    if residual is not None:
+        entries["meta_residual"] = np.asarray(residual, np.complex64)
+    _atomic_savez(path, entries)
 
 
 def load_classic_checkpoint(st, path: str):

@@ -618,12 +618,13 @@ class FusedStation:
 
     # ---- checkpoint/resume (runtime/checkpoint.py) ----
 
-    def save_checkpoint(self, path: str):
+    def save_checkpoint(self, path: str, residual=None):
         """Write the full station state (device pytree, deframer locks and
         trellis history, reassembly buffers, stats) to one .npz; drains
-        pending/in-flight blocks first."""
+        pending/in-flight blocks first.  ``residual`` stores caller-held
+        wideband IQ (a partial block) so resume is sample-contiguous."""
         from aero_tpu.runtime.checkpoint import save_station_checkpoint
-        save_station_checkpoint(self, path)
+        save_station_checkpoint(self, path, residual=residual)
 
     def load_checkpoint(self, path: str):
         """Resume from ``save_checkpoint`` output; the station must have

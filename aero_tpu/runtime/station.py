@@ -274,12 +274,14 @@ class Station:
 
     # ---- checkpoint/resume (runtime/checkpoint.py) ----
 
-    def save_checkpoint(self, path: str):
+    def save_checkpoint(self, path: str, residual=None):
         """Write the full classic-station state (channelizer carries, bank
         demod states, audio accumulators, hunter positions, deframer locks
-        and trellis history, reassembly buffers, stats) to one .npz."""
+        and trellis history, reassembly buffers, stats) to one .npz.
+        ``residual`` stores caller-held wideband IQ (a partial block) so
+        resume is sample-contiguous."""
         from aero_tpu.runtime.checkpoint import save_classic_checkpoint
-        save_classic_checkpoint(self, path)
+        save_classic_checkpoint(self, path, residual=residual)
 
     def load_checkpoint(self, path: str):
         """Resume from ``save_checkpoint`` output; the station must have

@@ -30,10 +30,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iq-file", default=None, help="cf32 interleaved IQ")
     p.add_argument("--iq-stdin", action="store_true")
     p.add_argument("--loop", action="store_true")
-    p.add_argument("--backend", default="tree",
+    p.add_argument("--backend", default="fused",
                    choices=["tree", "pfb", "fused"],
-                   help="tree/pfb: classic station; fused: device-resident "
-                        "one-jit-per-block fast path (uniform VFO banks)")
+                   help="fused (default): device-resident one-jit-per-block "
+                        "production path, ~30-38x real time on the 54degW "
+                        "26-VFO bank; tree/pfb: classic reference-shaped "
+                        "station for comparison, ~1.9x real time on the "
+                        "same bank (barely real-time at scale)")
     p.add_argument("--ingest-dtype", default="int16",
                    choices=["int2", "int4", "int8", "int16", "float32"],
                    help="fused backend host->device IQ quantization")
@@ -121,15 +124,33 @@ def main(argv=None) -> int:
                           batch_host_framing=args.batch_framing)
         B = st.block_len
     else:
+        n_vfos = len(cfg.mains) + len(cfg.subs)
+        if n_vfos > 8:
+            print(f"warning: --backend {args.backend} is the classic "
+                  f"comparison shape (~1.9x real time measured on the "
+                  f"26-VFO 54degW bank); {n_vfos} VFOs may not keep up — "
+                  f"the default fused backend runs 30x+", file=sys.stderr)
         st = Station(cfg, on_acars=on_acars, on_voice=on_voice,
                      station_id=args.station_id, backend=args.backend,
                      aircraft_db=args.aircraft_db,
                      hunt=not args.no_hunt)
         B = cfg.buflen_complex
+    initial_carry = np.zeros(0, np.complex64)
     if args.checkpoint and os.path.exists(args.checkpoint):
-        st.load_checkpoint(args.checkpoint)
-        print(json.dumps({"resumed_from": args.checkpoint}),
-              file=sys.stderr, flush=True)
+        # a truncated/incompatible checkpoint must not crash-loop the
+        # station: warn and start fresh (the periodic save will replace
+        # it atomically — runtime/checkpoint.py _atomic_savez)
+        try:
+            st.load_checkpoint(args.checkpoint)
+            from aero_tpu.runtime.checkpoint import load_residual
+            initial_carry = load_residual(args.checkpoint)
+            print(json.dumps({"resumed_from": args.checkpoint,
+                              "residual_samples": len(initial_carry)}),
+                  file=sys.stderr, flush=True)
+        except Exception as e:
+            print(json.dumps({"checkpoint_load_failed": str(e),
+                              "action": "starting fresh"}),
+                  file=sys.stderr, flush=True)
     last_ckpt = time.time()
     last_stats = time.time()
 
@@ -152,9 +173,11 @@ def main(argv=None) -> int:
 
     notifier = EventNotifier(on_hangup=hup_stats).install()
 
+    carry_box = [initial_carry]     # pump residual, persisted in ckpts
+
     def pump(reader):
         nonlocal last_stats, last_ckpt
-        carry = np.zeros(0, np.complex64)
+        carry = carry_box[0]
         for chunk in reader:
             if notifier.stop_requested:
                 break
@@ -162,10 +185,11 @@ def main(argv=None) -> int:
             while len(carry) >= B:
                 st.process(carry[:B])
                 carry = carry[B:]
+            carry_box[0] = carry
             if (args.checkpoint
                     and time.time() - last_ckpt >= args.checkpoint_every):
                 last_ckpt = time.time()
-                st.save_checkpoint(args.checkpoint)
+                st.save_checkpoint(args.checkpoint, residual=carry)
             if time.time() - last_stats >= args.stats_every:
                 last_stats = time.time()
                 s = st.stats
@@ -215,7 +239,7 @@ def main(argv=None) -> int:
         final["voice_frames"] = s.voice_frames
         voice_f.close()
     if args.checkpoint:
-        st.save_checkpoint(args.checkpoint)
+        st.save_checkpoint(args.checkpoint, residual=carry_box[0])
         final["checkpoint"] = args.checkpoint
     print(json.dumps({"final_stats": final}), file=sys.stderr)
     return 0

@@ -154,3 +154,66 @@ def test_classic_station_checkpoint_resume(tmp_path):
     stf.save_checkpoint(fused_ckpt)
     with pytest.raises(ValueError, match="classic"):
         Station(cfg).load_checkpoint(fused_ckpt)
+
+
+def test_checkpoint_exact_path_atomic_and_residual(tmp_path):
+    """Three durability properties (advisor findings, round 4):
+    1. `--checkpoint station.ckpt` (no .npz suffix) saves to EXACTLY that
+       name, so the startup os.path.exists resume check finds it.
+    2. Saves are atomic: no .tmp litter, and a pre-existing good
+       checkpoint is replaced, never truncated in place.
+    3. The caller's partial-block residual round-trips, so a resumed
+       stream is sample-contiguous with the capture."""
+    import os
+    from aero_tpu.runtime.checkpoint import load_residual
+
+    cfg = load_ini(INI, is_text=True)
+    st = FusedStation(cfg)
+    bare = str(tmp_path / "station.ckpt")        # no .npz
+    resid = (np.arange(7, dtype=np.float32)
+             + 1j * np.arange(7, dtype=np.float32)).astype(np.complex64)
+    st.save_checkpoint(bare, residual=resid)
+    assert os.path.exists(bare)                  # exact name, not bare+.npz
+    assert not os.path.exists(bare + ".npz")
+    assert not os.path.exists(bare + ".tmp")     # temp file replaced away
+
+    np.testing.assert_array_equal(load_residual(bare), resid)
+    # a checkpoint saved without a residual reports an empty one
+    st.save_checkpoint(bare)
+    assert len(load_residual(bare)) == 0
+
+    st2 = FusedStation(cfg)
+    st2.load_checkpoint(bare)                    # loads from the bare name
+
+
+def test_station_cli_survives_corrupt_checkpoint(tmp_path):
+    """A truncated checkpoint (crash mid-write on an old version, disk
+    full, ...) must not crash-loop the station: the CLI warns and starts
+    fresh instead of raising at startup."""
+    import os
+    import subprocess
+    import sys
+
+    ini = tmp_path / "st.ini"
+    ini.write_text("sample_rate=288000\ncenter_frequency=1545100000\n"
+                   "[vfos]\nsize=1\n1\\frequency=1545100000\n"
+                   "1\\data_rate=1200\n1\\topic=VFO1\n")
+    ckpt = tmp_path / "bad.ckpt"
+    ckpt.write_bytes(b"PK\x03\x04 this is not a checkpoint")
+    iq = tmp_path / "z.cf32"
+    np.zeros(144000, np.complex64).tofile(iq)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "aero_tpu.runtime.station_main",
+         "-c", str(ini), "--iq-file", str(iq), "--platform", "cpu",
+         "--checkpoint", str(ckpt)],
+        capture_output=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env)
+    err = out.stderr.decode()
+    assert out.returncode == 0, err[-2000:]
+    assert "checkpoint_load_failed" in err
+    assert "final_stats" in err
+    # and the shutdown save replaced the corrupt file with a good one
+    with np.load(str(ckpt), allow_pickle=False) as z:
+        assert "meta_version" in z.files
