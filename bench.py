@@ -88,6 +88,42 @@ def _fmt(m, scale=1e6):
             f"(spread {m['spread_pct']:.0f}%)")
 
 
+# Frozen reference rate for the calibration workload below, measured
+# 2026-08-21 (round 5, best of 7 x 30 iters).  NEVER EDIT: every future
+# round's metrics are normalized to this so BENCH_r0N lines compare
+# across days despite the tunnel's 30-50% service variance.
+CAL_REF_GFLOPS = 629696.0
+
+
+def bench_calibration(n_iter=30):
+    """FIXED calibration workload — NEVER EDIT (VERDICT r4 weak #3).
+
+    A constant-shape float32 2048^3 matmul, measured in the same
+    round-robin as every other metric, estimates the tunneled chip's
+    service rate *on the day of the run*.  Each metric is then also
+    reported normalized by (CAL_REF_GFLOPS / measured), making
+    round-over-round regressions falsifiable: byte-identical kernels
+    measured 60-139 GS/s across days (docstring above), but their
+    NORMALIZED rates should hold still."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(42)
+    a = jnp.asarray(rng.standard_normal((2048, 2048)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((2048, 2048)).astype(np.float32))
+    step = jax.jit(lambda a, b: a @ b)
+    out = step(a, b)
+    jax.block_until_ready(out)
+
+    def batch():
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = step(a, b)
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0
+
+    return _measure(batch, n_iter * 2 * 2048 ** 3)
+
+
 def bench_full_chain(B=50, n_iter=10):
     import jax
     import jax.numpy as jnp
@@ -405,6 +441,7 @@ def main():
             fails[name] = e
             return None
 
+    cal = setup("calibration", bench_calibration)
     chain_r = setup("pfb_full_chain", bench_full_chain_pfb)
     casc_r = demod = oq = bw = vit = None
     if full:
@@ -419,6 +456,16 @@ def main():
 
     for name, e in fails.items():
         print(f"{name} failed: {e}", file=sys.stderr)
+
+    # normalize every metric to the frozen calibration reference so
+    # cross-round comparisons see code changes, not tunnel weather
+    cal_gflops = cal["best"] / 1e9 if cal else 0.0
+    norm = (CAL_REF_GFLOPS / cal_gflops) if cal_gflops else 1.0
+    if cal:
+        print(f"calibration: {_fmt(cal, 1e9)} GFLOP/s fixed f32 2048^3 "
+              f"matmul -> cross-round norm factor {norm:.3f} "
+              f"(x raw = rate at the frozen r5 reference service rate)",
+              file=sys.stderr)
 
     chain, B = chain_r if chain_r else ({"best": 0, "median": 0,
                                          "spread_pct": 0}, 0)
@@ -473,6 +520,11 @@ def main():
         "median": round(chain["median"] / 1e6, 2),
         "spread_pct": round(chain["spread_pct"], 1),
         **extras,
+        "calibration_gflops": round(cal_gflops, 1),
+        "cal_ref_gflops": CAL_REF_GFLOPS,
+        "norm_factor": round(norm, 3),
+        "value_norm": round(chain["best"] * norm / 1e6, 2),
+        "norm": {k: round(v * norm, 1) for k, v in extras.items()},
     }))
 
 
