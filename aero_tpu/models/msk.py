@@ -49,12 +49,14 @@ from aero_tpu.models.coarse_freq import coarse_freq_init, coarse_freq_estimate
 class MskState(NamedTuple):
     nco_phase: jnp.ndarray      # mixer phase, cycles
     freq: jnp.ndarray           # current mix frequency, Hz
+    slope: jnp.ndarray          # CFO drift estimate, Hz/s (Doppler ramp)
     coarse_y: jnp.ndarray       # smoothed fold spectrum [nfft]
     mf_state: jnp.ndarray       # matched filter history [2*sps-1] complex
     agc_ema: jnp.ndarray        # running mean |mf out|
     tail: jnp.ndarray           # last 2*sps filtered samples (strobe context)
     theta: jnp.ndarray          # carrier phase at block start, rad
     grid: jnp.ndarray           # strobe-grid phase, samples mod 2*sps
+    grid_rate: jnp.ndarray      # grid drift, samples/block (RX clock ppm)
     have_lock_refs: jnp.ndarray # bool: theta/grid carries are meaningful
     diff_im: jnp.ndarray        # differential decoder memory, imag arm
     diff_re: jnp.ndarray        # differential decoder memory, real arm
@@ -72,35 +74,43 @@ class MskConfig(NamedTuple):
     signal_threshold: float
     fine_span_hz: float
     fine_step_hz: float
+    track_span_hz: float
+    track_segments: int
 
 
 def make_config(fs: float, fb: float, block_len: int = 16000,
                 lockingbw: float = 900.0, freq_center: float = 1000.0,
                 signal_threshold: float = 0.5, nfft: int = 8192,
                 fine_span_hz: float | None = None,
-                fine_step_hz: float = 0.25) -> MskConfig:
+                fine_step_hz: float = 0.25,
+                track_span_hz: float = 120.0,
+                track_segments: int = 8) -> MskConfig:
     sps = int(fs / fb)
     assert block_len % (2 * sps) == 0
     assert block_len >= nfft
+    assert block_len % track_segments == 0
     if fine_span_hz is None:
         # must cover the worst-case residual after a coarse retune:
         # the fold estimate quantizes to half a coarse FFT bin, searched in
         # the nu = 2*df domain -> span 2*(fs/nfft/2) plus margin
         fine_span_hz = fs / nfft + 2.0
     return MskConfig(fs, fb, sps, block_len, nfft, lockingbw, freq_center,
-                     signal_threshold, fine_span_hz, fine_step_hz)
+                     signal_threshold, fine_span_hz, fine_step_hz,
+                     track_span_hz, track_segments)
 
 
 def msk_init(cfg: MskConfig) -> MskState:
     return MskState(
         nco_phase=nco_init(),
         freq=jnp.asarray(cfg.freq_center, jnp.float32),
+        slope=jnp.asarray(0.0, jnp.float32),
         coarse_y=coarse_freq_init(cfg.nfft),
         mf_state=fir_init(2 * cfg.sps, dtype=jnp.complex64),
         agc_ema=jnp.asarray(0.0, jnp.float32),
         tail=jnp.zeros(4 * cfg.sps, jnp.complex64),
         theta=jnp.asarray(0.0, jnp.float32),
         grid=jnp.asarray(0.0, jnp.float32),
+        grid_rate=jnp.asarray(0.0, jnp.float32),
         have_lock_refs=jnp.asarray(False),
         diff_im=jnp.asarray(-1.0, jnp.float32),
         diff_re=jnp.asarray(-1.0, jnp.float32),
@@ -167,6 +177,61 @@ def _tone_pair_sync(y, fb_norm, span_cyc, step_cyc):
     return df, theta0, t0, quality
 
 
+@functools.lru_cache(maxsize=None)
+def _track_grid(T: int, fb_norm: float, span_cyc: float):
+    """Wide, coarse tone grid for the per-segment CFO-slope tracker
+    (numpy, cached; step = half a segment DFT bin)."""
+    step = 0.5 / T
+    n = np.arange(T, dtype=np.float64)
+    nu = np.arange(-span_cyc, span_cyc + step / 2, step, dtype=np.float64)
+    freqs = np.concatenate([nu + fb_norm / 2.0, nu - fb_norm / 2.0])
+    tw = np.exp(-2j * np.pi * (freqs[:, None] * n[None, :] % 1.0))
+    return nu.astype(np.float32), tw.astype(np.complex64)
+
+
+def _segment_slope_track(y, fb_norm, span_cyc, S):
+    """Residual CFO ramp measurement from the squared signal.
+
+    The precision estimator (_tone_pair_sync) integrates the whole block,
+    so a Doppler ramp smears its tones into uselessness (a 25 Hz/s ramp
+    sweeps the squared-domain tone across ~11 DFT bins of a 0.67 s
+    block).  Splitting the block into S short segments keeps each
+    segment's tones sharp; a weighted linear fit of per-segment tone
+    frequency vs time yields the residual CFO ramp and the wide-range
+    residual average that drive the block-rate slope tracker.
+
+    Returns (df_wide, slope_res, quality): residual average CFO at block
+    center [cycles/sample], residual CFO slope [cycles/sample^2], and
+    mean segment tone quality.
+    """
+    T = y.shape[-1] // S
+    s2 = (y * y).reshape(y.shape[:-1] + (S, T))
+    nu_np, tw_np = _track_grid(T, float(fb_norm), float(span_cyc))
+    nu = jnp.asarray(nu_np)
+    coeffs = jnp.einsum("ct,...st->...sc", jnp.asarray(tw_np), s2)
+    C = nu.shape[0]
+    score = jnp.abs(coeffs[..., :C]) + jnp.abs(coeffs[..., C:])   # [S, C]
+    best = jnp.argmax(score, axis=-1)                             # [S]
+    nu_s = nu[best]
+    w = jnp.take_along_axis(score, best[..., None], axis=-1)[..., 0]
+    w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-9)
+    # weighted LS fit nu_s ~ a + b*(segment center sample index)
+    x = (jnp.arange(S, dtype=jnp.float32) + 0.5) * T
+    xm = jnp.sum(w * x, axis=-1, keepdims=True)
+    ym = jnp.sum(w * nu_s, axis=-1, keepdims=True)
+    sxx = jnp.sum(w * (x - xm) ** 2, axis=-1)
+    sxy = jnp.sum(w * (x - xm) * (nu_s - ym), axis=-1)
+    b = sxy / jnp.maximum(sxx, 1e-9)
+    a_mid = ym[..., 0] + b * (S * T / 2.0 - xm[..., 0])
+    # quality = weighted mean per-segment peak-to-average score ratio:
+    # scale-free, so one threshold serves both MSK and OQPSK (whose
+    # absolute squared-signal tone power differs with the pulse shape)
+    peak = jnp.take_along_axis(score, best[..., None], axis=-1)[..., 0]
+    par = peak / jnp.maximum(jnp.mean(score, axis=-1), 1e-9)
+    quality = jnp.sum(w * par, axis=-1)
+    return a_mid / 2.0, b / 2.0, quality
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def msk_step(state: MskState, samples, cfg: MskConfig):
     """Process one block of real audio samples [block_len].
@@ -178,10 +243,31 @@ def msk_step(state: MskState, samples, cfg: MskConfig):
     L = cfg.block_len
     x = jnp.asarray(samples, jnp.float32)
 
-    # 1. mix to baseband at the carried frequency
+    # 1. mix to baseband at the carried frequency, then chirp-derotate by
+    #    the carried CFO slope (Doppler-ramp tracking).  The reference's
+    #    per-sample carrier PLL follows a ramp for free
+    #    (mskdemodulator.cpp:346-369); the block-feedforward design must
+    #    instead model it: without this, a 25 Hz/s ramp leaves +-9 rad of
+    #    quadratic phase across a 0.67 s block (measured: 0/56 frames).
+    #    The slope estimate is an alpha-beta tracker at BLOCK rate — still
+    #    no per-sample feedback anywhere.
     fnorm = state.freq / cfg.fs
     nco_phase, bb = nco_mix(state.nco_phase, x.astype(jnp.complex64), fnorm,
                             conj=True)
+    # float() guards: cfg.fs may arrive as a Python int, and fs^2 at 48 kHz
+    # overflows the int32 JAX would parse it as
+    slope_cps2 = state.slope / (float(cfg.fs) * float(cfg.fs))
+    n_all = jnp.arange(L, dtype=jnp.float32)
+    # 0.5*s*n^2 via cumsum (n^2 overflows float32 mantissa at n=16000)
+    inc = slope_cps2 * (n_all + 0.5)
+    chirp_cyc = jnp.cumsum(inc) - inc
+    bb = bb * jnp.exp(-2j * jnp.pi * jnp.mod(chirp_cyc, 1.0)
+                      ).astype(jnp.complex64)
+    # continuity: the chirp adds 0.5*s*L^2 cycles by block end, and the
+    # instantaneous mix frequency ends at freq + slope*T_blk
+    chirp_end = (0.5 * L) * (slope_cps2 * L)
+    nco_phase = jnp.mod(nco_phase + chirp_end, 1.0)
+    T_blk = L / cfg.fs
 
     # 2. coarse CFO estimate (drives retunes while unlocked)
     coarse_y, dfc = coarse_freq_estimate(
@@ -202,6 +288,11 @@ def msk_step(state: MskState, samples, cfg: MskConfig):
     fb_norm = cfg.fb / cfg.fs
     df, theta0, t0_bits, quality = _tone_pair_sync(
         y, fb_norm, cfg.fine_span_hz / cfg.fs, cfg.fine_step_hz / cfg.fs)
+    # 5b. residual-ramp measurement (Doppler tracking): per-segment tones
+    # over a wide grid, weighted-LS slope fit — feeds the block-rate
+    # slope tracker and a wide-range fold-in the fine grid can't reach
+    df_wide, slope_res, tq = _segment_slope_track(
+        y, fb_norm, 2.0 * cfg.track_span_hz / cfg.fs, cfg.track_segments)
 
     def circdist(a, b, m):
         return jnp.abs(jnp.mod(a - b + m / 2, m) - m / 2)
@@ -234,7 +325,11 @@ def msk_step(state: MskState, samples, cfg: MskConfig):
         return sig[i0] * (1.0 - w) + sig[i0 + 1] * w
 
     def strobes(g):
-        pos = g + m * (2.0 * sps)
+        # strobe spacing scaled by the tracked RX/TX sample-clock ratio
+        # (grid_rate samples of drift per block): under a +-100 ppm
+        # clock offset the within-block timing error otherwise reaches
+        # a large fraction of a strobe interval at the block edges
+        pos = g + m * (2.0 * sps) * (1.0 + state.grid_rate / L)
         return interp(ctx, pos + TAIL), interp(ctx, pos + TAIL - sps)
 
     # timing grid: t0 gives the grid mod sps; the arm parity (mod 2*sps) is
@@ -258,11 +353,23 @@ def msk_step(state: MskState, samples, cfg: MskConfig):
                          cand[0], cand[1])
     grid_acq = grid_acq - jnp.round((grid_acq - state.grid) / (2.0 * sps)) * (2.0 * sps)
 
-    delta = jnp.mod(g_raw - state.grid + sps / 2.0, sps) - sps / 2.0
-    grid_track = state.grid + 0.5 * delta
+    # second-order timing: predict the grid forward by the tracked drift
+    # rate, then correct half the innovation.  A first-order loop lags a
+    # constant clock offset by 2x the per-block drift (3.2 samples at
+    # 100 ppm) — the alpha-beta form tracks it to zero lag, exactly like
+    # the reference's continuously-slewing per-sample timing NCO
+    # (mskdemodulator.cpp:323-340) but at block rate.
+    tracking = state.have_lock_refs & (state.mse < cfg.signal_threshold)
+    pred = state.grid + state.grid_rate
+    delta = jnp.mod(g_raw - pred + sps / 2.0, sps) - sps / 2.0
+    grid_track = pred + 0.5 * delta
+    rate_max = 300e-6 * L                    # +-300 ppm capture
+    grid_rate = jnp.where(tracking,
+                          state.grid_rate + 0.25 * delta,
+                          0.95 * state.grid_rate)
+    grid_rate = jnp.clip(grid_rate, -rate_max, rate_max)
 
-    grid = jnp.where(state.have_lock_refs & (state.mse < cfg.signal_threshold),
-                     grid_track, grid_acq)
+    grid = jnp.where(tracking, grid_track, grid_acq)
     grid = jnp.where(grid < -0.5 * sps, grid + 2.0 * sps,
                      jnp.where(grid >= 2.5 * sps, grid - 2.0 * sps, grid))
 
@@ -322,28 +429,67 @@ def msk_step(state: MskState, samples, cfg: MskConfig):
     coarse_y = jnp.where(retune, jnp.full_like(coarse_y, 20.0), coarse_y)
 
     # fine-CFO fold-in: absorb df into the mixer so the next block's tones
-    # sit near 0 (phases stay continuous: adjust theta carry accordingly)
-    freq = freq + jnp.where(retune, 0.0, df * cfg.fs)
+    # sit near 0 (phases stay continuous: adjust theta carry accordingly).
+    # The mixer's instantaneous frequency ended at freq + slope*T_blk —
+    # carry that as the new base so a tracked ramp needs no fold-in at
+    # all.  When the residual sits beyond the fine grid's reach (ramp
+    # acquisition, post-retune) fold in the wide segment-tracker average
+    # instead — a mini-retune that keeps the coarse loop out of the
+    # tracking business (its retunes reset phase/grid continuity, which
+    # is what used to shred frames under a ramp).
+    # both wide fold-in and slope update trust the segment tracker only
+    # when it actually sees tones: the peak-to-average quality reads
+    # 6.4-8.1 with tones present (both modems, down to 6 dB SNR) and
+    # ~2.1 on pure noise (where the argmax fits would otherwise
+    # random-walk the slope tens of Hz/s and fling spurious wide jumps)
+    tq_ok = tq > 3.5
+    df_wide_hz = df_wide * cfg.fs
+    slope_res_hz = slope_res * (float(cfg.fs) * float(cfg.fs))
+    wide_jump = (jnp.abs(df_wide_hz) > cfg.fine_span_hz) \
+        & tq_ok & jnp.logical_not(retune)
+    # fold in the block-END residual, not the block average: df measures
+    # the average, which under a residual ramp e lags the end frequency
+    # by e*T/2 — folding the average alone hands a -e*T/2 error to the
+    # next block and rings a period-2 limit cycle with the slope tracker
+    end_corr = jnp.where(tq_ok, 0.5 * slope_res_hz * T_blk, 0.0)
+    freq = freq + state.slope * T_blk \
+        + jnp.where(retune, 0.0,
+                    jnp.where(wide_jump, df_wide_hz, df * cfg.fs)
+                    + end_corr)
+    # slope tracker (block-rate): the segment fit measures the RESIDUAL
+    # ramp directly; a 0.7 gain converges in a few blocks.  No lock is
+    # required (ramp acquisition happens while mse is still ~1), but the
+    # noise leak bounds the tracker when tones vanish, and the update is
+    # clamped so one bad fit cannot fling it.
+    slope = state.slope + jnp.where(
+        tq_ok, jnp.clip(0.7 * slope_res_hz, -80.0, 80.0), 0.0)
+    slope = jnp.where(tq_ok | locked, slope, 0.9 * slope)
+    slope = jnp.clip(slope, -400.0, 400.0)
     theta_next = jnp.mod(theta + 2.0 * jnp.pi * df * L, 2.0 * jnp.pi)
-    have_refs = jnp.logical_not(retune)
+    have_refs = jnp.logical_not(retune | wide_jump)
     # the signal level at the new tune is unrelated to the old one: restart
     # the AGC carry so the next block normalizes from its own mean (the
     # reference's AGC window carries no long memory, DSP.cpp:358-385)
     agc_ema = jnp.where(retune, 0.0, agc_ema)
 
-    new_state = MskState(nco_phase, freq, coarse_y, mf_state, agc_ema, tail,
-                         theta_next, grid, have_refs, diff_im, diff_re, mse)
+    new_state = MskState(nco_phase, freq, slope, coarse_y, mf_state, agc_ema,
+                         tail, theta_next, grid, grid_rate, have_refs,
+                         diff_im, diff_re, mse)
     out = {
         "soft_bits": soft,
         "mse": mse,
         "freq": freq,
+        "slope": slope,
         "coarse_offset": dfc,
         "fine_offset": df * cfg.fs,
+        "wide_offset": df_wide_hz,
+        "track_quality": tq,
         "tone_quality": quality,
         "signal": locked,
         "ebno": ebno_db,
         "theta": theta,
         "grid": grid,
+        "clock_ppm": grid_rate / L * 1e6,
         "scatter": scatter,
     }
     return new_state, out

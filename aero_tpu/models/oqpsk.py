@@ -36,18 +36,20 @@ from aero_tpu.ops import (nco_init, nco_mix, fir_init, fir_apply,
                           root_raised_cosine, block_agc)
 from aero_tpu.ops.fir import fir_apply_fft
 from aero_tpu.models.coarse_freq import coarse_freq_init, coarse_freq_estimate
-from aero_tpu.models.msk import _tone_pair_sync
+from aero_tpu.models.msk import _tone_pair_sync, _segment_slope_track
 
 
 class OqpskState(NamedTuple):
     nco_phase: jnp.ndarray
     freq: jnp.ndarray
+    slope: jnp.ndarray          # CFO drift estimate, Hz/s (Doppler ramp)
     coarse_y: jnp.ndarray
     mf_state: jnp.ndarray
     agc_ema: jnp.ndarray
     tail: jnp.ndarray           # last tail_len filtered samples (raw)
     theta: jnp.ndarray
     grid: jnp.ndarray           # position of first (Q) strobe, samples
+    grid_rate: jnp.ndarray      # grid drift, samples/block (RX clock ppm)
     have_lock_refs: jnp.ndarray
     mse: jnp.ndarray
 
@@ -65,6 +67,8 @@ class OqpskConfig(NamedTuple):
     alpha: float
     ntaps: int
     tail_len: int
+    track_span_hz: float
+    track_segments: int
 
     @property
     def strobe_step(self) -> float:
@@ -79,10 +83,13 @@ def make_config(fs: float, fb: float, block_len: int = 16000,
                 lockingbw: float = 10500.0, freq_center: float = 8000.0,
                 signal_threshold: float = 0.65, nfft: int = 8192,
                 fine_span_hz: float | None = None,
-                fine_step_hz: float = 0.25) -> OqpskConfig:
+                fine_step_hz: float = 0.25,
+                track_span_hz: float = 240.0,
+                track_segments: int = 8) -> OqpskConfig:
     n_strobes = block_len * fb / fs
     assert abs(n_strobes - round(n_strobes)) < 1e-9 and round(n_strobes) % 2 == 0
     assert block_len >= nfft
+    assert block_len % track_segments == 0
     if fine_span_hz is None:
         fine_span_hz = fs / nfft + 2.0
     alpha = 0.6 if fb == 8400 else 1.0
@@ -92,21 +99,25 @@ def make_config(fs: float, fb: float, block_len: int = 16000,
     # fast-convolution prefilter for adjacent-channel rejection
     # (ref: oqpskdemodulator.cpp:239-249, 376-386)
     ntaps = 2049 if fb == 8400 else 55
+    # C-band Doppler rates run ~2.4x L-band (3.6/1.5 GHz), so the slope
+    # tracker's wide grid spans more than the MSK default
     return OqpskConfig(fs, fb, block_len, nfft, lockingbw, freq_center,
                        signal_threshold, fine_span_hz, fine_step_hz, alpha,
-                       ntaps, tail_len)
+                       ntaps, tail_len, track_span_hz, track_segments)
 
 
 def oqpsk_init(cfg: OqpskConfig) -> OqpskState:
     return OqpskState(
         nco_phase=nco_init(),
         freq=jnp.asarray(cfg.freq_center, jnp.float32),
+        slope=jnp.asarray(0.0, jnp.float32),
         coarse_y=coarse_freq_init(cfg.nfft),
         mf_state=fir_init(cfg.ntaps, dtype=jnp.complex64),
         agc_ema=jnp.asarray(0.0, jnp.float32),
         tail=jnp.zeros(cfg.tail_len, jnp.complex64),
         theta=jnp.asarray(0.0, jnp.float32),
         grid=jnp.asarray(0.0, jnp.float32),
+        grid_rate=jnp.asarray(0.0, jnp.float32),
         have_lock_refs=jnp.asarray(False),
         mse=jnp.asarray(2.0, jnp.float32),
     )
@@ -121,6 +132,17 @@ def oqpsk_step(state: OqpskState, samples, cfg: OqpskConfig):
     fnorm = state.freq / cfg.fs
     nco_phase, bb = nco_mix(state.nco_phase, x.astype(jnp.complex64), fnorm,
                             conj=True)
+    # chirp-derotate by the carried CFO slope (Doppler-ramp tracking;
+    # same block-rate tracker as models/msk.py — see the notes there)
+    slope_cps2 = state.slope / (float(cfg.fs) * float(cfg.fs))
+    n_all = jnp.arange(L, dtype=jnp.float32)
+    inc = slope_cps2 * (n_all + 0.5)
+    chirp_cyc = jnp.cumsum(inc) - inc
+    bb = bb * jnp.exp(-2j * jnp.pi * jnp.mod(chirp_cyc, 1.0)
+                      ).astype(jnp.complex64)
+    chirp_end = (0.5 * L) * (slope_cps2 * L)
+    nco_phase = jnp.mod(nco_phase + chirp_end, 1.0)
+    T_blk = L / float(cfg.fs)
 
     coarse_y, dfc = coarse_freq_estimate(
         state.coarse_y, bb, nfft=cfg.nfft, fb=cfg.fb, fs=cfg.fs,
@@ -141,6 +163,8 @@ def oqpsk_step(state: OqpskState, samples, cfg: OqpskConfig):
     fb_norm = cfg.fb / cfg.fs
     df, theta0, t0_sym, quality = _tone_pair_sync(
         y, fb_norm, cfg.fine_span_hz / cfg.fs, cfg.fine_step_hz / cfg.fs)
+    df_wide, slope_res, tq = _segment_slope_track(
+        y, fb_norm, 2.0 * cfg.track_span_hz / cfg.fs, cfg.track_segments)
 
     def circdist(a, b, m):
         return jnp.abs(jnp.mod(a - b + m / 2, m) - m / 2)
@@ -170,18 +194,25 @@ def oqpsk_step(state: OqpskState, samples, cfg: OqpskConfig):
         return sig[i0] * (1.0 - w) + sig[i0 + 1] * w
 
     def pair_points(g):
-        """Q strobes at g + m*2*step, I strobes half a symbol later."""
-        pos_q = g + m * (2.0 * step)
-        pos_i = pos_q + step
+        """Q strobes at g + m*2*step, I strobes half a symbol later —
+        spacing scaled by the tracked RX/TX clock ratio (see msk.py)."""
+        scale = 1.0 + state.grid_rate / L
+        pos_q = g + m * (2.0 * step) * scale
+        pos_i = pos_q + step * scale
         q = interp(ctx, pos_q + TAIL).imag
         i = interp(ctx, pos_i + TAIL).real
         return i, q
 
-    # timing: t0 (in symbol periods mod 1 from the tone pair) gives the
-    # strobe set mod Ts; the arm pairing has two candidates a symbol-half
-    # apart, picked by eye quality at acquisition, carried continuously after
-    g_raw = jnp.mod(t0_sym * (2.0 * step), 2.0 * step)
-    cand = jnp.stack([g_raw, jnp.mod(g_raw + step, 2.0 * step)])
+    # timing: the squared-signal tone pair sits at 2df +- fb/2, so the
+    # phase difference measures t0 modulo the tone-BEAT period 1/fb = one
+    # strobe interval (t0_sym is in units of that period).  The remaining
+    # mod-Ts ambiguity is the arm pairing: two candidates a symbol-half
+    # apart, picked by eye quality at acquisition, carried continuously
+    # after.  (Scaling by Ts instead doubled the measured drift rate
+    # under a sample-clock offset — the timing loop then chased phantom
+    # 2x motion and slipped twice as often as the physics requires.)
+    g_raw = jnp.mod(t0_sym * step, step)
+    cand = jnp.stack([g_raw, g_raw + step])
 
     def eye_mse(g):
         """Self-normalized constellation MSE (ref MSEcalc, DSP.cpp:435-461:
@@ -197,10 +228,20 @@ def oqpsk_step(state: OqpskState, samples, cfg: OqpskConfig):
                          cand[0], cand[1])
     grid_acq = grid_acq - jnp.round((grid_acq - state.grid) / (2.0 * step)) * (2.0 * step)
 
-    delta = jnp.mod(g_raw - state.grid + step / 2.0, step) - step / 2.0
-    grid_track = state.grid + 0.5 * delta
-    grid = jnp.where(state.have_lock_refs & (state.mse < cfg.signal_threshold),
-                     grid_track, grid_acq)
+    # second-order timing (alpha-beta on grid + drift rate; see msk.py):
+    # at 10500 bps the strobe interval is only 4.57 samples, so the old
+    # first-order loop's 2x-per-block-drift lag was most of an interval
+    # under a 100 ppm clock offset
+    tracking = state.have_lock_refs & (state.mse < cfg.signal_threshold)
+    pred = state.grid + state.grid_rate
+    delta = jnp.mod(g_raw - pred + step / 2.0, step) - step / 2.0
+    grid_track = pred + 0.5 * delta
+    rate_max = 300e-6 * L
+    grid_rate = jnp.where(tracking,
+                          state.grid_rate + 0.25 * delta,
+                          0.95 * state.grid_rate)
+    grid_rate = jnp.clip(grid_rate, -rate_max, rate_max)
+    grid = jnp.where(tracking, grid_track, grid_acq)
     grid = jnp.where(grid < -0.5 * step, grid + 2.0 * step,
                      jnp.where(grid >= 2.5 * step, grid - 2.0 * step, grid))
 
@@ -233,24 +274,44 @@ def oqpsk_step(state: OqpskState, samples, cfg: OqpskConfig):
         & (jnp.logical_not(locked) | stuck)
     freq = jnp.where(retune, state.freq + dfc, state.freq)
     coarse_y = jnp.where(retune, jnp.full_like(coarse_y, 20.0), coarse_y)
-    freq = freq + jnp.where(retune, 0.0, df * cfg.fs)
+    # Doppler-ramp fold-in + block-rate slope tracker (see models/msk.py
+    # for the derivation of the tq gate and the block-END residual)
+    tq_ok = tq > 3.5
+    df_wide_hz = df_wide * cfg.fs
+    slope_res_hz = slope_res * (float(cfg.fs) * float(cfg.fs))
+    wide_jump = (jnp.abs(df_wide_hz) > cfg.fine_span_hz) \
+        & tq_ok & jnp.logical_not(retune)
+    end_corr = jnp.where(tq_ok, 0.5 * slope_res_hz * T_blk, 0.0)
+    freq = freq + state.slope * T_blk \
+        + jnp.where(retune, 0.0,
+                    jnp.where(wide_jump, df_wide_hz, df * cfg.fs)
+                    + end_corr)
+    slope = state.slope + jnp.where(
+        tq_ok, jnp.clip(0.7 * slope_res_hz, -160.0, 160.0), 0.0)
+    slope = jnp.where(tq_ok | locked, slope, 0.9 * slope)
+    slope = jnp.clip(slope, -800.0, 800.0)
     theta_next = jnp.mod(theta + 2.0 * jnp.pi * df * L, 2.0 * jnp.pi)
-    have_refs = jnp.logical_not(retune)
+    have_refs = jnp.logical_not(retune | wide_jump)
     # restart the AGC carry at the new tune (see models/msk.py)
     agc_ema = jnp.where(retune, 0.0, agc_ema)
 
-    new_state = OqpskState(nco_phase, freq, coarse_y, mf_state, agc_ema, tail,
-                           theta_next, grid, have_refs, mse)
+    new_state = OqpskState(nco_phase, freq, slope, coarse_y, mf_state,
+                           agc_ema, tail, theta_next, grid, grid_rate,
+                           have_refs, mse)
     out = {
         "soft_bits": soft,
         "mse": mse,
         "freq": freq,
+        "slope": slope,
         "coarse_offset": dfc,
         "fine_offset": df * cfg.fs,
+        "wide_offset": df_wide_hz,
+        "track_quality": tq,
         "tone_quality": quality,
         "signal": locked,
         "ebno": ebno_db,
         "grid": grid,
+        "clock_ppm": grid_rate / L * 1e6,
         # ScatterPoints analogue (see models/msk.py)
         "scatter": jnp.stack([pt_i, pt_q], axis=-1),
     }

