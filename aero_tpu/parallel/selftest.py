@@ -190,6 +190,53 @@ def main(argv=None) -> int:
     print(f"MH-VFOBANK-{'OK' if ok2 else 'FAIL'} proc={args.process_id} "
           f"rows={B} match={100.0 * close.mean():.2f}%", flush=True)
 
+    # ---- scaling efficiency: the SAME bank workload 1-process vs
+    # N-process (VERDICT r4 item 5) — BASELINE's "near-linear 1->N
+    # hosts" gets a measured number.  Each process measures its
+    # single-process rate ALONE (barrier-serialized, so the other
+    # process's activity cannot deflate the baseline and flatter the
+    # ratio), then all processes time the global-mesh bank together.
+    import time as _t
+
+    def _time_bank(states0, x, iters=30):
+        s_, out = bank_step(states0, x)
+        jax.block_until_ready(out)
+        t0 = _t.perf_counter()
+        for _ in range(iters):
+            s_, out = bank_step(s_, x)
+        jax.block_until_ready(out)
+        return iters / (_t.perf_counter() - t0)
+
+    from jax.sharding import NamedSharding
+
+    lmesh = Mesh(np.array(jax.local_devices()), ("vfo",))
+
+    def l_shard(leaf):
+        leaf = jnp.asarray(leaf)
+        spec = P("vfo", *([None] * (leaf.ndim - 1))) if leaf.ndim else P()
+        return jax.device_put(leaf, NamedSharding(lmesh, spec))
+
+    rate1 = 0.0
+    for turn in range(args.num_processes):
+        multihost_utils.sync_global_devices(f"scal-local-{turn}")
+        if turn == args.process_id:
+            lstates = jax.tree.map(l_shard, jax.vmap(
+                lambda _: msk_init(cfg))(jnp.arange(b_local)))
+            lx = jax.device_put(
+                jnp.asarray(local_rows[:, :cfg.block_len]),
+                NamedSharding(lmesh, P("vfo", None)))
+            rate1 = _time_bank(lstates, lx) * b_local * cfg.block_len
+    multihost_utils.sync_global_devices("scal-global")
+    gstates = jax.tree.map(to_global, jax.vmap(
+        lambda _: msk_init(cfg))(jnp.arange(b_local)))
+    gx = to_global(local_rows[:, :cfg.block_len])
+    rateN = _time_bank(gstates, gx) * B * cfg.block_len
+    eff = rateN / (args.num_processes * rate1)
+    print(f"MH-SCALING proc={args.process_id} single={rate1 / 1e6:.1f} "
+          f"MS/s ({b_local} rows) aggregate={rateN / 1e6:.1f} MS/s "
+          f"({B} rows over {args.num_processes} procs) "
+          f"efficiency={100.0 * eff:.0f}%", flush=True)
+
     # ---- stage 3: the FULL FusedStation across processes ----
     # The production station program (quantized ingest -> PFB -> vmapped
     # demod bank -> packed soft+telemetry) compiled over the GLOBAL mesh,

@@ -57,3 +57,15 @@ def test_two_process_halo_exchange():
         # sharded over the 2-process global mesh matches a local run
         assert f"MH-FUSEDSTATION-OK proc={i}" in out, out[-3000:]
         assert "devices=8" in out
+        # scaling efficiency (VERDICT r4 item 5): 2-process aggregate vs
+        # the serialized 1-process baseline of the same bank workload.
+        # Both "hosts" share one physical machine here, so thread-pool
+        # contention bounds the CPU-mesh number well below the ~100% a
+        # real 2-host mesh sees — assert a sane floor and print it.
+        import re
+        m = re.search(rf"MH-SCALING proc={i} .*efficiency=(\d+)%", out)
+        assert m, out[-3000:]
+        eff = int(m.group(1))
+        print(f"proc {i}: 2-process scaling efficiency {eff}% "
+              f"(shared-machine CPU mesh)")
+        assert eff >= 30, out[-3000:]
