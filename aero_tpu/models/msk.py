@@ -370,6 +370,15 @@ def msk_step(state: MskState, samples, cfg: MskConfig):
     grid_rate = jnp.clip(grid_rate, -rate_max, rate_max)
 
     grid = jnp.where(tracking, grid_track, grid_acq)
+    # renormalization = a real bit-pair slip in the output stream: the
+    # inter-block strobe gap becomes 4*sps (one pair skipped; wrap adds
+    # 2*sps) or 0 (one pair duplicated; wrap subtracts).  Report it so
+    # the host can realign the soft stream (protocol/framing.apply_slip)
+    # instead of paying a deframer relock — the reference's per-sample
+    # timing NCO slews continuously and never slips at all.
+    slip = jnp.where(tracking & (grid < -0.5 * sps), jnp.int32(1),
+                     jnp.where(tracking & (grid >= 2.5 * sps),
+                               jnp.int32(-1), jnp.int32(0)))
     grid = jnp.where(grid < -0.5 * sps, grid + 2.0 * sps,
                      jnp.where(grid >= 2.5 * sps, grid - 2.0 * sps, grid))
 
@@ -490,6 +499,7 @@ def msk_step(state: MskState, samples, cfg: MskConfig):
         "theta": theta,
         "grid": grid,
         "clock_ppm": grid_rate / L * 1e6,
+        "slip": slip,
         "scatter": scatter,
     }
     return new_state, out

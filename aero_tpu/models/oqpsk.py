@@ -242,6 +242,11 @@ def oqpsk_step(state: OqpskState, samples, cfg: OqpskConfig):
                           0.95 * state.grid_rate)
     grid_rate = jnp.clip(grid_rate, -rate_max, rate_max)
     grid = jnp.where(tracking, grid_track, grid_acq)
+    # renormalization = a bit-pair slip in the output stream; report it
+    # so the host realigns instead of relocking (see models/msk.py)
+    slip = jnp.where(tracking & (grid < -0.5 * step), jnp.int32(1),
+                     jnp.where(tracking & (grid >= 2.5 * step),
+                               jnp.int32(-1), jnp.int32(0)))
     grid = jnp.where(grid < -0.5 * step, grid + 2.0 * step,
                      jnp.where(grid >= 2.5 * step, grid - 2.0 * step, grid))
 
@@ -312,6 +317,7 @@ def oqpsk_step(state: OqpskState, samples, cfg: OqpskConfig):
         "ebno": ebno_db,
         "grid": grid,
         "clock_ppm": grid_rate / L * 1e6,
+        "slip": slip,
         # ScatterPoints analogue (see models/msk.py)
         "scatter": jnp.stack([pt_i, pt_q], axis=-1),
     }

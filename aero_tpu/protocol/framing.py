@@ -153,6 +153,27 @@ class FrameEvent:
     uw_errors: int
 
 
+def apply_slip(soft: np.ndarray, slip: int) -> np.ndarray:
+    """Realign one demod block's soft bits after a timing-grid
+    renormalization (the demod's ``out["slip"]``).
+
+    slip=+1: the grid wrapped up by one strobe interval — the stream
+    skipped one bit pair; insert two neutral (128) soft bits so frame
+    alignment downstream holds (two erasures out of a whole frame, which
+    the Viterbi absorbs).  slip=-1: one bit pair was emitted twice; drop
+    the duplicated leading pair.  The reference's per-sample timing NCO
+    slews continuously and never slips; with this realignment the
+    block-feedforward design matches that behavior at the frame level
+    instead of losing one frame per renormalization."""
+    if slip > 0:
+        return np.concatenate(
+            [np.full(2, 128.0, dtype=np.float32),
+             np.asarray(soft, dtype=np.float32)])
+    if slip < 0:
+        return np.asarray(soft, dtype=np.float32)[2:]
+    return np.asarray(soft, dtype=np.float32)
+
+
 class PChannelFramer:
     """RX deframer for one VFO: soft bytes in, decoded frames out.
 

@@ -183,7 +183,10 @@ class Decoder:
                     print(ev.display)
             self.hunter.update_dcd(bool(out["signal"]))
             return
-        soft = soft.astype(np.float32)
+        # realign on timing-grid slips (sample-clock offset) before any
+        # continuous-channel deframer sees the stream
+        from aero_tpu.protocol.framing import apply_slip
+        soft = apply_slip(soft.astype(np.float32), int(out.get("slip", 0)))
         if self.c_framer is not None:
             for ev in self.c_framer.feed(soft):
                 if self.opts.verbose:

@@ -77,6 +77,11 @@ INT2_GAIN = 0.47
 # clipping while keeping quantization ~70 dB under a unit signal
 AUDIO_I16_SCALE = 4096.0
 
+# per-VFO telemetry floats packed after the soft bits:
+# signal / mse / ebno / freq / slip (timing-grid renormalization flag the
+# host uses to realign the soft stream — protocol/framing.apply_slip)
+TEL_SLOTS = 5
+
 # int2 code c (2 bits) -> Lloyd-Max level: sign = bit1, magnitude
 # 1 or 3 = bit0; decoded elementwise in _dequantize (a 256-entry LUT
 # gather was 16x slower on TPU — gathers don't vectorize)
@@ -252,7 +257,7 @@ class FusedStation:
             self._soft_ofs[key] = (soft_pos, per_vfo)
             soft_pos += nb * per_vfo
             self._tel_ofs[key] = tel_pos
-            tel_pos += 4 * nb                      # signal/mse/ebno/freq
+            tel_pos += TEL_SLOTS * nb          # signal/mse/ebno/freq/slip
         self._soft_total = soft_pos
         self._state = jax.jit(self._init_state)()
         self._one = self._make_step()
@@ -396,7 +401,7 @@ class FusedStation:
                     outs[key] = {
                         "bytes": jax.lax.bitcast_convert_type(
                             a16, jnp.uint8).reshape(audio.shape[0], -1),
-                        "telem": jnp.stack([rms, peak, zero, zero]),
+                        "telem": jnp.stack([rms, peak, zero, zero, zero]),
                     }
                     new["grp"][key] = ng
                     continue
@@ -414,6 +419,7 @@ class FusedStation:
                         "mse": out["mse"],
                         "ebno": out["ebno"],
                         "freq": s2.freq,
+                        "slip": out["slip"],
                     }
 
                 h0 = gst.get("hunt", {"tries": jnp.zeros(
@@ -429,7 +435,8 @@ class FusedStation:
                     "telem": jnp.stack([out["signal"].astype(jnp.float32),
                                         out["mse"].astype(jnp.float32),
                                         out["ebno"].astype(jnp.float32),
-                                        out["freq"].astype(jnp.float32)]),
+                                        out["freq"].astype(jnp.float32),
+                                        out["slip"].astype(jnp.float32)]),
                 }
             # pack everything the host needs into ONE flat uint8 buffer
             # (single fetch): soft bits / burst audio, then telemetry
@@ -582,6 +589,7 @@ class FusedStation:
         self.stats.wall_seconds += time.perf_counter() - t0
 
     def _drain(self, packed):
+        from aero_tpu.protocol.framing import apply_slip
         rows = np.asarray(packed)
         for row in rows:
             soft = row[: self._soft_total]
@@ -591,30 +599,37 @@ class FusedStation:
                 pos, per_vfo = self._soft_ofs[key]
                 nb = len(self.groups[key])
                 sb = soft[pos: pos + nb * per_vfo].reshape(nb, per_vfo)
-                if not burst and key in self._batch_banks:
-                    # one batched device decode for the whole group's
-                    # pending frames
-                    evs_by_topic = self._batch_banks[key].feed(
-                        {topic: sb[r].astype(np.float32)
-                         for r, topic in enumerate(self.topics[key])})
-                    for topic, evs in evs_by_topic.items():
-                        account_framer_events(self.stats, rate, evs,
-                                              self.dispatchers.get(topic))
-                    continue
-                for r, topic in enumerate(self.topics[key]):
-                    if burst:
+                if burst:
+                    for r, topic in enumerate(self.topics[key]):
                         audio = (sb[r].view(np.int16).astype(np.float32)
                                  / AUDIO_I16_SCALE)
                         account_burst_outputs(
                             self.stats, self.burst_stats[topic],
                             self.burst_demods[topic].process(audio),
                             self.rt_framers[topic])
-                    else:
-                        account_framer_events(
-                            self.stats, rate,
-                            self.framers[topic].feed(
-                                sb[r].astype(np.float32)),
-                            self.dispatchers.get(topic))
+                    continue
+                # timing-grid slips (5th telemetry slot) realign the soft
+                # stream before any deframer sees it — a clock-offset
+                # renormalization then costs two soft-bit erasures, not
+                # a frame (tests/test_impairments.py)
+                t0 = self._tel_ofs[key]
+                slips = self.telemetry[t0 + 4 * nb: t0 + 5 * nb]
+                if key in self._batch_banks:
+                    # one batched device decode for the whole group's
+                    # pending frames
+                    evs_by_topic = self._batch_banks[key].feed(
+                        {topic: apply_slip(sb[r], int(slips[r]))
+                         for r, topic in enumerate(self.topics[key])})
+                    for topic, evs in evs_by_topic.items():
+                        account_framer_events(self.stats, rate, evs,
+                                              self.dispatchers.get(topic))
+                    continue
+                for r, topic in enumerate(self.topics[key]):
+                    account_framer_events(
+                        self.stats, rate,
+                        self.framers[topic].feed(
+                            apply_slip(sb[r], int(slips[r]))),
+                        self.dispatchers.get(topic))
 
     # ---- checkpoint/resume (runtime/checkpoint.py) ----
 
@@ -666,7 +681,8 @@ class FusedStation:
         for key in self._order:
             nb = len(self.groups[key])
             t = tel[self._tel_ofs[key]:
-                    self._tel_ofs[key] + 4 * nb].reshape(4, nb)
+                    self._tel_ofs[key] + TEL_SLOTS * nb].reshape(TEL_SLOTS,
+                                                                 nb)
             for row, topic in enumerate(self.topics[key]):
                 if key[2]:
                     bs = self.burst_stats[topic]

@@ -249,11 +249,14 @@ class Station:
                 out = bank.process_block(blocks)
                 soft = np.asarray(out["soft_bits"])
                 signal = np.asarray(out["signal"])
+                slips = np.asarray(out["slip"])
                 retune_rows, retune_freqs = [], []
+                from aero_tpu.protocol.framing import apply_slip
                 for row, t in enumerate(topics):
                     account_framer_events(
                         self.stats, key[1],
-                        self.framers[t].feed(soft[row].astype(np.float32)),
+                        self.framers[t].feed(
+                            apply_slip(soft[row], int(slips[row]))),
                         self.dispatchers.get(t))
                     h = self.hunters.get(t)
                     if h is not None:

@@ -13,8 +13,9 @@ explicitly:
       measured 0/56 frames at a mere 25 Hz/s;
   (b) constant sample-clock offsets (RX ADC ppm error) — handled by the
       second-order timing loop with clock-ratio-scaled strobe spacing,
-      plus the deframer's slipped-UW fast relock (a slip now costs
-      exactly ONE frame, the minimum for a fixed-length soft stream);
+      the demod's slip flag + host realignment (apply_slip: a
+      renormalization costs two soft-bit erasures, not a frame), and
+      the deframer's slipped-UW fast relock as the fallback;
   (c) phase noise (Wiener / random-walk carrier phase).
 
 Measured tracking envelopes (frame recovery at 20 dB SNR, this suite's
@@ -22,16 +23,19 @@ exact streams; thresholds below leave margin for numeric jitter only —
 a real regression fails the test):
 
   MSK 1200 @24k:  ramp 25 Hz/s -> 52/56, 50 -> 54/56, 100 -> 50/56,
-                  150 -> lost;   ppm +-100 -> 26/28, 200 -> 25/28,
-                  500 -> 20/28;  phase noise 5 mrad/sample -> 16/16,
-                  10 mrad -> lost
+                  150 -> lost;   ppm +-100/200/500 -> LOSSLESS 28/28
+                  (slip realignment); phase noise 5 mrad/sample ->
+                  16/16, 10 mrad -> lost
   OQPSK 10500 @48k: ramp 60/120/240 Hz/s -> 117-118/120 (240 Hz/s is
                   2.4x the L-band scale — the harsher C-band case);
-                  ppm +-100 -> 44/60 (the theoretical max at that slip
-                  rate is 44/60: one slip per 3.75 frames, one frame
-                  per slip); phase noise 2 mrad/sample -> 30/30
+                  ppm +-100 -> LOSSLESS 60/60 (17 slips realigned;
+                  44/60 without); 200 ppm -> lost (per-block drift
+                  exceeds half a strobe interval: tracker aliases)
   Burst R (600):  per-burst CFO spread by a ramp + 100 ppm + phase
                   noise decodes >= 12/14
+  Stations:       the same 400 ppm stream decodes end to end through
+                  BOTH the FusedStation (slip rides the packed device
+                  telemetry) and the classic Station's VfoBank path
 
 Losses under ramps are the acquisition transient (the first few
 seconds); steady-state tracking is asserted separately at ~100%.
@@ -82,12 +86,23 @@ def _msk_stream(n_fields, snr=20.0, seed=1):
     return fields, sig.astype(np.float32)
 
 
+def _feed_with_slip(outs, framer):
+    """Feed demod block outputs through a framer with the same slip
+    realignment every runtime consumer applies (decoder.py, station.py,
+    fused_station._drain)."""
+    from aero_tpu.protocol.framing import apply_slip
+    evs = []
+    for o in outs:
+        evs += framer.feed(apply_slip(o["soft_bits"].astype(np.float32),
+                                      int(o["slip"])))
+    return evs
+
+
 def _run_msk(fields, sig):
     from aero_tpu.models.msk import MskDemodulator
     dm = MskDemodulator(24000, 1200)
     outs = dm.process(np.concatenate([sig, np.zeros(48000, np.float32)]))
-    soft = np.concatenate([o["soft_bits"] for o in outs]).astype(np.float32)
-    got = [e.infofield for e in PChannelFramer(1200).feed(soft)]
+    got = [e.infofield for e in _feed_with_slip(outs, PChannelFramer(1200))]
     return [i for i, f in enumerate(fields) if f in got]
 
 
@@ -106,8 +121,7 @@ def _run_oqpsk(fields, sig):
     from aero_tpu.models.oqpsk import OqpskDemodulator
     dm = OqpskDemodulator(48000, 10500)
     outs = dm.process(np.concatenate([sig, np.zeros(96000, np.float32)]))
-    soft = np.concatenate([o["soft_bits"] for o in outs]).astype(np.float32)
-    got = [e.infofield for e in PChannelFramer(10500).feed(soft)]
+    got = [e.infofield for e in _feed_with_slip(outs, PChannelFramer(10500))]
     return [i for i, f in enumerate(fields) if f in got]
 
 
@@ -140,22 +154,29 @@ def test_oqpsk_doppler_ramp_240hzps_62s():
 
 # ---- (b) sample-clock offset (RX ADC ppm) ---------------------------
 
-@pytest.mark.parametrize("ppm,min_ok", [(100.0, 22), (-100.0, 22)])
+@pytest.mark.parametrize("ppm,min_ok", [(100.0, 27), (-100.0, 27),
+                                        (500.0, 26)])
 def test_msk_clock_offset_33s(ppm, min_ok):
-    """±100 ppm forces the strobe grid to renormalize (a bit-pair slip)
-    every ~17 s; the deframer must survive each slip losing at most the
-    slipped frame."""
+    """A sample-clock offset forces the strobe grid to renormalize (a
+    bit-pair slip; every ~17 s at 100 ppm).  The demod reports each slip
+    (out['slip']) and the consumer realigns the soft stream
+    (protocol/framing.apply_slip), so a slip costs two soft-bit
+    erasures — which the Viterbi absorbs — and recovery is LOSSLESS
+    (28/28 measured at 100, 200 and even 500 ppm)."""
     fields, sig = _msk_stream(28)          # 33 s
     x = impair(sig, 24000, ppm=ppm)
     rec = _run_msk(fields, x)
     assert len(rec) >= min_ok, (len(rec), sorted(set(range(28)) - set(rec)))
 
 
-@pytest.mark.parametrize("ppm,min_ok", [(100.0, 36), (-100.0, 36)])
+@pytest.mark.parametrize("ppm,min_ok", [(100.0, 57), (-100.0, 57)])
 def test_oqpsk_clock_offset_32s(ppm, min_ok):
     """At 10500 bps a 100 ppm offset slips one strobe every 1.9 s — one
-    slip per 3.75 frames.  Fixed-length soft output makes one lost frame
-    per slip the floor (44/60); assert most of that is achieved."""
+    slip per 3.75 frames.  With slip realignment recovery is LOSSLESS
+    (60/60 measured; without it the fixed-length soft stream would lose
+    one frame per slip, 44/60).  200 ppm exceeds the timing tracker's
+    per-block unambiguous innovation (drift > half a strobe interval
+    per block) and is the documented envelope edge."""
     fields, sig = _oqpsk_stream(60)        # 32 s
     x = impair(sig, 48000, ppm=ppm)
     rec = _run_oqpsk(fields, x)
@@ -179,6 +200,88 @@ def test_oqpsk_phase_noise():
     x = impair(sig, 48000, pn=0.002, seed=9)
     rec = _run_oqpsk(fields, x)
     assert len(rec) >= 27, len(rec)
+
+
+def _wideband_msk_msgs(n_msgs, fs_wb, delta, seed=5):
+    """Wideband complex stream carrying n_msgs single-frame ACARS
+    messages on an MSK 1200 VFO at +delta Hz off center."""
+    from scipy.signal import resample_poly
+    from aero_tpu.models.msk import msk_modulate
+    from aero_tpu.protocol.isu import make_acars_userdata, segment_isu
+
+    fill = append_crc16_bytes(bytes([0x01] + [0] * 9))
+    fields = []
+    texts = []
+    for k in range(n_msgs):
+        text = f"SLIP MSG {k:03d}"
+        texts.append(text)
+        ud = make_acars_userdata("2", "VH-SLP", "!", "AA", "M", text)
+        sus = [append_crc16_bytes(b)
+               for b in segment_isu(ud, 0x654321, 0x41)]
+        sus += [fill] * (6 - len(sus))
+        fields.append(b"".join(sus))
+    bits = build_p_frames(fields, 1200, lead_frames=4)
+    audio = msk_modulate(bits, 24000, 1200, freq=1000.0)
+    up = fs_wb // 24000
+    bb = resample_poly(audio.astype(np.float64), up, 1).astype(np.complex64)
+    t = np.arange(len(bb)) / fs_wb
+    return texts, (bb * np.exp(2j * np.pi * delta * t)).astype(np.complex64)
+
+
+def _ppm_resample_iq(wide, ppm):
+    r = 1.0 + ppm * 1e-6
+    idx = np.arange(int((len(wide) - 2) / r)) * r
+    base = np.arange(len(wide))
+    return (np.interp(idx, base, wide.real)
+            + 1j * np.interp(idx, base, wide.imag)).astype(np.complex64)
+
+
+def test_fused_station_clock_offset_slip_realignment():
+    """400 ppm through the FULL FusedStation: the slip flag rides the
+    packed device telemetry (5th slot per VFO) and _drain realigns the
+    soft stream before the framers — every message decodes."""
+    from aero_tpu.channelizer import load_ini
+    from aero_tpu.runtime.fused_station import FusedStation
+
+    fs_wb = 288000
+    texts, wide = _wideband_msk_msgs(10, fs_wb, 24000)
+    wide = _ppm_resample_iq(wide, 400.0)
+    ini = (f"[General]\nsample_rate={fs_wb}\ncenter_frequency=1545000000\n"
+           "[vfos]\nsize=1\n1\\frequency=1545024000\n1\\data_rate=1200\n"
+           "1\\topic=V1\n1\\gain=100\n")
+    msgs = []
+    st = FusedStation(load_ini(ini, is_text=True),
+                      on_acars=lambda t, it: msgs.append(it.message))
+    w = np.concatenate([wide, np.zeros(2 * st.block_len, np.complex64)])
+    for i in range(0, (len(w) // st.block_len) * st.block_len, st.block_len):
+        st.process(w[i:i + st.block_len])
+    st.flush()
+    got = [t for t in texts if t in msgs]
+    assert len(got) >= 9, (len(got), sorted(set(texts) - set(msgs)))
+
+
+def test_classic_station_clock_offset_slip_realignment():
+    """The same 400 ppm stream through the classic Station's VfoBank
+    path (tree channelizer): the bank's per-row slip output realigns
+    each VFO's soft stream before its framer."""
+    from aero_tpu.channelizer import load_ini
+    from aero_tpu.runtime.station import Station
+
+    fs_wb = 288000
+    texts, wide = _wideband_msk_msgs(10, fs_wb, 24000)
+    wide = _ppm_resample_iq(wide, 400.0)
+    ini = (f"[General]\nsample_rate={fs_wb}\ncenter_frequency=1545000000\n"
+           "[vfos]\nsize=1\n1\\frequency=1545024000\n1\\data_rate=1200\n"
+           "1\\topic=V1\n1\\gain=100\n")
+    cfg = load_ini(ini, is_text=True)
+    msgs = []
+    st = Station(cfg, on_acars=lambda t, it: msgs.append(it.message))
+    B = cfg.buflen_complex
+    w = np.concatenate([wide, np.zeros(2 * B, np.complex64)])
+    for i in range(0, (len(w) // B) * B, B):
+        st.process(w[i:i + B])
+    got = [t for t in texts if t in msgs]
+    assert len(got) >= 9, (len(got), sorted(set(texts) - set(msgs)))
 
 
 def test_msk_combined_ramp_ppm_phase_noise():
