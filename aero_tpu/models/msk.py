@@ -212,8 +212,23 @@ def _segment_slope_track(y, fb_norm, span_cyc, S):
     C = nu.shape[0]
     score = jnp.abs(coeffs[..., :C]) + jnp.abs(coeffs[..., C:])   # [S, C]
     best = jnp.argmax(score, axis=-1)                             # [S]
-    nu_s = nu[best]
-    w = jnp.take_along_axis(score, best[..., None], axis=-1)[..., 0]
+    # sub-bin quadratic peak interpolation: the argmax alone quantizes
+    # each segment's tone to half a DFT bin, and with the weaker
+    # squared-signal tones of the 8400 alpha=0.6 pulse that jitter fed
+    # the slope tracker +-12 Hz/s of noise per block — enough to ring a
+    # limit cycle between the slope and the fine fold-in (measured:
+    # freq flapping +-2.5 Hz block-over-block on a clean +10 Hz offset)
+    step = nu[1] - nu[0]
+    bl = jnp.clip(best - 1, 0, C - 1)
+    br = jnp.clip(best + 1, 0, C - 1)
+    s0 = jnp.take_along_axis(score, best[..., None], axis=-1)[..., 0]
+    sl = jnp.take_along_axis(score, bl[..., None], axis=-1)[..., 0]
+    sr = jnp.take_along_axis(score, br[..., None], axis=-1)[..., 0]
+    denom = sl - 2.0 * s0 + sr
+    frac = jnp.where(jnp.abs(denom) > 1e-9,
+                     0.5 * (sl - sr) / denom, 0.0)
+    nu_s = nu[best] + jnp.clip(frac, -0.5, 0.5) * step
+    w = s0
     w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-9)
     # weighted LS fit nu_s ~ a + b*(segment center sample index)
     x = (jnp.arange(S, dtype=jnp.float32) + 0.5) * T

@@ -130,16 +130,15 @@ def oqpsk_step(state: OqpskState, samples, cfg: OqpskConfig):
     x = jnp.asarray(samples, jnp.float32)
 
     fnorm = state.freq / cfg.fs
-    nco_phase, bb = nco_mix(state.nco_phase, x.astype(jnp.complex64), fnorm,
-                            conj=True)
     # chirp-derotate by the carried CFO slope (Doppler-ramp tracking;
-    # same block-rate tracker as models/msk.py — see the notes there)
+    # same block-rate tracker as models/msk.py — see the notes there);
+    # the chirp rides inside the mixer's exp (nco_mix extra_cycles)
     slope_cps2 = state.slope / (float(cfg.fs) * float(cfg.fs))
     n_all = jnp.arange(L, dtype=jnp.float32)
     inc = slope_cps2 * (n_all + 0.5)
     chirp_cyc = jnp.cumsum(inc) - inc
-    bb = bb * jnp.exp(-2j * jnp.pi * jnp.mod(chirp_cyc, 1.0)
-                      ).astype(jnp.complex64)
+    nco_phase, bb = nco_mix(state.nco_phase, x.astype(jnp.complex64), fnorm,
+                            conj=True, extra_cycles=chirp_cyc)
     chirp_end = (0.5 * L) * (slope_cps2 * L)
     nco_phase = jnp.mod(nco_phase + chirp_end, 1.0)
     T_blk = L / float(cfg.fs)

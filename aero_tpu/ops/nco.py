@@ -32,14 +32,20 @@ def nco_phase_ramp(state, freq_norm, length: int):
     return new_state, jnp.mod(ramp, 1.0)
 
 
-def nco_mix(state, x, freq_norm, conj: bool = False):
-    """Mix a block by ``exp(+/- 2 pi j * (phi0 + f n))``.
+def nco_mix(state, x, freq_norm, conj: bool = False, extra_cycles=None):
+    """Mix a block by ``exp(+/- 2 pi j * (phi0 + f n [+ extra]))``.
 
     x: [..., T] complex or real.  freq_norm: broadcastable to x[..., 0].
+    ``extra_cycles`` [..., T] adds a per-sample phase term (in cycles)
+    INSIDE the single exp — the demodulators' Doppler chirp derotation
+    rides here instead of paying a second full-block complex exp and
+    multiply.  The caller owns any state carry the extra term implies.
     Returns (new_state, mixed block).
     """
     freq_norm = jnp.asarray(freq_norm, dtype=state.dtype)
     new_state, ramp = nco_phase_ramp(state, freq_norm, x.shape[-1])
+    if extra_cycles is not None:
+        ramp = jnp.mod(ramp + extra_cycles, 1.0)
     ang = (2.0 * jnp.pi) * ramp
     osc = jnp.exp(1j * ang.astype(jnp.float32)).astype(jnp.complex64)
     if conj:
