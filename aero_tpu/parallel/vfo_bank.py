@@ -84,7 +84,12 @@ class VfoBank:
             mse=st.mse.at[rows].set(2.0),
             have_lock_refs=st.have_lock_refs.at[rows].set(False),
             agc_ema=st.agc_ema.at[rows].set(0.0),
-            coarse_y=st.coarse_y.at[rows].set(20.0))
+            coarse_y=st.coarse_y.at[rows].set(20.0),
+            # the Doppler slope / clock-rate carries belong to the OLD
+            # signal: a stale 100 Hz/s slope would chirp the hunted band
+            # and block re-acquisition there
+            slope=st.slope.at[rows].set(0.0),
+            grid_rate=st.grid_rate.at[rows].set(0.0))
         self.states = shard_over_vfo(self.mesh, jax.vmap(tree_pack)(st))
 
 

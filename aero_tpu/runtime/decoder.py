@@ -137,9 +137,12 @@ class Decoder:
             self.demod.set_center(freq_center)
             return
         import jax.numpy as jnp
+        # slope/grid_rate belong to the old signal (see vfo_bank.retune)
         self.demod.state = st._replace(
             freq=jnp.asarray(np.float32(max(freq_center, 100.0))),
-            mse=jnp.asarray(np.float32(2.0)))
+            mse=jnp.asarray(np.float32(2.0)),
+            slope=jnp.asarray(np.float32(0.0)),
+            grid_rate=jnp.asarray(np.float32(0.0)))
 
     def _no_signal(self):
         self._no_signal_flag = True

@@ -353,7 +353,11 @@ class FusedStation:
             have_lock_refs=jnp.where(fire, False, s2.have_lock_refs),
             agc_ema=jnp.where(fire, jnp.float32(0.0), s2.agc_ema),
             coarse_y=jnp.where(fire, jnp.full_like(s2.coarse_y, 20.0),
-                               s2.coarse_y))
+                               s2.coarse_y),
+            # stale Doppler-slope / clock-rate carries would chirp the
+            # newly hunted band and block re-acquisition there
+            slope=jnp.where(fire, jnp.float32(0.0), s2.slope),
+            grid_rate=jnp.where(fire, jnp.float32(0.0), s2.grid_rate))
         return s2, {"tries": tries, "center": center}
 
     def _make_step(self):

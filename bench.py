@@ -33,6 +33,14 @@ tunnel overhead (measured on-chip: oqpsk 10.9 GS/s at n_iter=20 vs
 identical kernels), and the oqpsk state carry is now donated like the
 production VfoBank.  A chunk sweep confirmed chunk=52 remains the
 Pallas Viterbi optimum (26: 9.7, 52: 14.5, 104: 9.1 Gbit/s).
+
+Round-5 note: the demodulators gained Doppler-ramp and sample-clock
+tracking (segmented tone fit + chirp derotation + 2nd-order timing;
+models/msk.py).  The first cut cost ~15-20% of demod throughput (a
+second full-block complex exp for the chirp); fusing the chirp into
+nco_mix's existing exp recovered it (same-day A/B: pfb chain 8.9 ->
+10.6 GS/s best, demod 16.0 -> 19.6 GS/s) — the added tracking is now
+approximately free.
 """
 
 import json

@@ -230,3 +230,34 @@ def test_fused_hunter_600_band_edge_carrier():
 
     assert "BAND EDGE 600" in got, f"never acquired; freq trace {freqs}"
     assert abs(freqs[-1] - 4800.0) < 100.0, freqs
+
+
+def test_retune_resets_drift_carries():
+    """Every retune path must zero the Doppler-slope and clock-rate
+    carries: they belong to the OLD signal, and a stale 100 Hz/s slope
+    would chirp the newly hunted band and block re-acquisition."""
+    import jax.numpy as jnp
+    import numpy as np
+    from aero_tpu.parallel.vfo_bank import MskVfoBank
+    from aero_tpu.ops.compat import tree_pack, tree_unpack
+    import jax
+
+    bank = MskVfoBank(2, 24000.0, 1200.0, block_len=4800, nfft=4096,
+                      fine_step_hz=1.0)
+    st = jax.vmap(tree_unpack)(bank.states)
+    st = st._replace(slope=jnp.full((2,), 100.0),
+                     grid_rate=jnp.full((2,), 2.0))
+    bank.states = jax.vmap(tree_pack)(st)
+    bank.retune([0], [1500.0])
+    st2 = jax.vmap(tree_unpack)(bank.states)
+    assert float(st2.slope[0]) == 0.0 and float(st2.grid_rate[0]) == 0.0
+    # untouched rows keep their carries
+    assert float(st2.slope[1]) == 100.0
+
+    # single-VFO Decoder path
+    from aero_tpu.runtime.decoder import Decoder, DecoderOptions
+    dec = Decoder(DecoderOptions(bitrate=1200))
+    dec.demod.state = dec.demod.state._replace(
+        slope=jnp.asarray(np.float32(80.0)))
+    dec._set_center(1300.0)
+    assert float(dec.demod.state.slope) == 0.0
