@@ -224,7 +224,12 @@ def _wideband_msk_msgs(n_msgs, fs_wb, delta, seed=5):
     bits = build_p_frames(fields, 1200, lead_frames=4)
     audio = msk_modulate(bits, 24000, 1200, freq=1000.0)
     up = fs_wb // 24000
-    bb = resample_poly(audio.astype(np.float64), up, 1).astype(np.complex64)
+    # single-sideband, the way the channel exists over the air (see the
+    # C-channel test below for why DSB synthetic wideband misbehaves
+    # under any impairment that breaks the ± mirror symmetry)
+    from scipy.signal import hilbert
+    an = hilbert(audio.astype(np.float64))
+    bb = resample_poly(an, up, 1).astype(np.complex64)
     t = np.arange(len(bb)) / fs_wb
     return texts, (bb * np.exp(2j * np.pi * delta * t)).astype(np.complex64)
 
@@ -259,6 +264,32 @@ def test_fused_station_clock_offset_slip_realignment():
     st.flush()
     got = [t for t in texts if t in msgs]
     assert len(got) >= 9, (len(got), sorted(set(texts) - set(msgs)))
+
+
+def test_fused_station_doppler_ramp():
+    """A 40 Hz/s Doppler ramp on the wideband IQ through the FULL
+    FusedStation: the per-VFO slope tracker runs under vmap on the
+    device chain and every message decodes once acquisition settles."""
+    from aero_tpu.channelizer import load_ini
+    from aero_tpu.runtime.fused_station import FusedStation
+
+    fs_wb = 288000
+    texts, wide = _wideband_msk_msgs(12, fs_wb, 24000)
+    t = np.arange(len(wide)) / fs_wb
+    wide = (wide * np.exp(2j * np.pi * (0.5 * 40.0) * t * t)
+            ).astype(np.complex64)
+    ini = (f"[General]\nsample_rate={fs_wb}\ncenter_frequency=1545000000\n"
+           "[vfos]\nsize=1\n1\\frequency=1545024000\n1\\data_rate=1200\n"
+           "1\\topic=V1\n1\\gain=100\n")
+    msgs = []
+    st = FusedStation(load_ini(ini, is_text=True),
+                      on_acars=lambda t_, it: msgs.append(it.message))
+    w = np.concatenate([wide, np.zeros(2 * st.block_len, np.complex64)])
+    for i in range(0, (len(w) // st.block_len) * st.block_len, st.block_len):
+        st.process(w[i:i + st.block_len])
+    st.flush()
+    got = [x for x in texts if x in msgs]
+    assert len(got) >= 10, (len(got), sorted(set(texts) - set(msgs)))
 
 
 def test_classic_station_clock_offset_slip_realignment():
