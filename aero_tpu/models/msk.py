@@ -247,6 +247,72 @@ def _segment_slope_track(y, fb_norm, span_cyc, S):
     return a_mid / 2.0, b / 2.0, quality
 
 
+def _doppler_fold(prev_slope, freq, retune, locked, df, df_wide, slope_res,
+                  tq, fs, T_blk, fine_span_hz, clamp_hzps, slope_max):
+    """Shared Doppler fold-in + slope tracker (block rate; MSK and OQPSK
+    differ only in clamps).
+
+    Folds the block-END residual, not the block average: df measures the
+    average, which under a residual ramp e lags the end frequency by
+    e*T/2 — folding the average alone hands a -e*T/2 error to the next
+    block and rings a period-2 limit cycle with the slope tracker.  When
+    the residual sits beyond the fine grid's reach (ramp acquisition,
+    post-retune) the wide segment-tracker average folds in instead — a
+    mini-retune that keeps the coarse loop out of the tracking business.
+    Both the end correction and the slope update clamp the segment-fit
+    slope: one interference-corrupted segment can fling the weighted LS
+    fit hundreds of Hz/s.  The slope needs no lock to update (ramp
+    acquisition happens while mse is still ~1); a leak bounds it when
+    the tones vanish.
+
+    Returns (freq, slope, wide_jump, tq_ok).
+    """
+    tq_ok = tq > 3.5
+    df_wide_hz = df_wide * fs
+    slope_res_hz = slope_res * (float(fs) * float(fs))
+    wide_jump = (jnp.abs(df_wide_hz) > fine_span_hz) \
+        & tq_ok & jnp.logical_not(retune)
+    end_corr = jnp.where(
+        tq_ok,
+        0.5 * jnp.clip(slope_res_hz, -clamp_hzps, clamp_hzps) * T_blk, 0.0)
+    freq = freq + prev_slope * T_blk \
+        + jnp.where(retune, 0.0,
+                    jnp.where(wide_jump, df_wide_hz, df * fs) + end_corr)
+    slope = prev_slope + jnp.where(
+        tq_ok, jnp.clip(0.7 * slope_res_hz, -clamp_hzps, clamp_hzps), 0.0)
+    slope = jnp.where(tq_ok | locked, slope, 0.9 * slope)
+    slope = jnp.clip(slope, -slope_max, slope_max)
+    return freq, slope, wide_jump, tq_ok
+
+
+def _timing_track(prev_grid, prev_rate, g_raw, unit, tracking, L,
+                  grid_acq):
+    """Shared second-order timing loop (alpha-beta on grid + drift rate).
+
+    ``unit`` is the g_raw ambiguity period in samples (sps for MSK, one
+    strobe interval for OQPSK); renormalization happens with the same
+    2*unit wrap in both, and is reported as a slip (+1 = a bit pair was
+    skipped, -1 = duplicated) for host realignment.
+
+    Returns (grid, grid_rate, slip).
+    """
+    pred = prev_grid + prev_rate
+    delta = jnp.mod(g_raw - pred + unit / 2.0, unit) - unit / 2.0
+    grid_track = pred + 0.5 * delta
+    rate_max = 300e-6 * L                    # +-300 ppm capture
+    grid_rate = jnp.where(tracking, prev_rate + 0.25 * delta,
+                          0.95 * prev_rate)
+    grid_rate = jnp.clip(grid_rate, -rate_max, rate_max)
+    grid = jnp.where(tracking, grid_track, grid_acq)
+    slip = jnp.where(tracking & (grid < -0.5 * unit), jnp.int32(1),
+                     jnp.where(tracking & (grid >= 2.5 * unit),
+                               jnp.int32(-1), jnp.int32(0)))
+    grid = jnp.where(grid < -0.5 * unit, grid + 2.0 * unit,
+                     jnp.where(grid >= 2.5 * unit, grid - 2.0 * unit,
+                               grid))
+    return grid, grid_rate, slip
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def msk_step(state: MskState, samples, cfg: MskConfig):
     """Process one block of real audio samples [block_len].
@@ -267,17 +333,17 @@ def msk_step(state: MskState, samples, cfg: MskConfig):
     #    The slope estimate is an alpha-beta tracker at BLOCK rate — still
     #    no per-sample feedback anywhere.
     fnorm = state.freq / cfg.fs
-    nco_phase, bb = nco_mix(state.nco_phase, x.astype(jnp.complex64), fnorm,
-                            conj=True)
     # float() guards: cfg.fs may arrive as a Python int, and fs^2 at 48 kHz
     # overflows the int32 JAX would parse it as
     slope_cps2 = state.slope / (float(cfg.fs) * float(cfg.fs))
     n_all = jnp.arange(L, dtype=jnp.float32)
-    # 0.5*s*n^2 via cumsum (n^2 overflows float32 mantissa at n=16000)
+    # 0.5*s*n^2 via cumsum (n^2 overflows float32 mantissa at n=16000);
+    # the chirp rides INSIDE the mixer's exp (nco_mix extra_cycles) so
+    # Doppler derotation costs adds, not a second complex exp+multiply
     inc = slope_cps2 * (n_all + 0.5)
     chirp_cyc = jnp.cumsum(inc) - inc
-    bb = bb * jnp.exp(-2j * jnp.pi * jnp.mod(chirp_cyc, 1.0)
-                      ).astype(jnp.complex64)
+    nco_phase, bb = nco_mix(state.nco_phase, x.astype(jnp.complex64), fnorm,
+                            conj=True, extra_cycles=chirp_cyc)
     # continuity: the chirp adds 0.5*s*L^2 cycles by block end, and the
     # instantaneous mix frequency ends at freq + slope*T_blk
     chirp_end = (0.5 * L) * (slope_cps2 * L)
@@ -373,29 +439,13 @@ def msk_step(state: MskState, samples, cfg: MskConfig):
     # constant clock offset by 2x the per-block drift (3.2 samples at
     # 100 ppm) — the alpha-beta form tracks it to zero lag, exactly like
     # the reference's continuously-slewing per-sample timing NCO
-    # (mskdemodulator.cpp:323-340) but at block rate.
+    # (mskdemodulator.cpp:323-340) but at block rate.  Renormalizations
+    # are real bit-pair slips, reported for host realignment
+    # (protocol/framing.apply_slip).
     tracking = state.have_lock_refs & (state.mse < cfg.signal_threshold)
-    pred = state.grid + state.grid_rate
-    delta = jnp.mod(g_raw - pred + sps / 2.0, sps) - sps / 2.0
-    grid_track = pred + 0.5 * delta
-    rate_max = 300e-6 * L                    # +-300 ppm capture
-    grid_rate = jnp.where(tracking,
-                          state.grid_rate + 0.25 * delta,
-                          0.95 * state.grid_rate)
-    grid_rate = jnp.clip(grid_rate, -rate_max, rate_max)
-
-    grid = jnp.where(tracking, grid_track, grid_acq)
-    # renormalization = a real bit-pair slip in the output stream: the
-    # inter-block strobe gap becomes 4*sps (one pair skipped; wrap adds
-    # 2*sps) or 0 (one pair duplicated; wrap subtracts).  Report it so
-    # the host can realign the soft stream (protocol/framing.apply_slip)
-    # instead of paying a deframer relock — the reference's per-sample
-    # timing NCO slews continuously and never slips at all.
-    slip = jnp.where(tracking & (grid < -0.5 * sps), jnp.int32(1),
-                     jnp.where(tracking & (grid >= 2.5 * sps),
-                               jnp.int32(-1), jnp.int32(0)))
-    grid = jnp.where(grid < -0.5 * sps, grid + 2.0 * sps,
-                     jnp.where(grid >= 2.5 * sps, grid - 2.0 * sps, grid))
+    grid, grid_rate, slip = _timing_track(
+        state.grid, state.grid_rate, g_raw, float(sps), tracking, L,
+        grid_acq)
 
     pts_cur, pts_del = strobes(grid)
     pt_re = pts_cur.real
@@ -466,29 +516,9 @@ def msk_step(state: MskState, samples, cfg: MskConfig):
     # 6.4-8.1 with tones present (both modems, down to 6 dB SNR) and
     # ~2.1 on pure noise (where the argmax fits would otherwise
     # random-walk the slope tens of Hz/s and fling spurious wide jumps)
-    tq_ok = tq > 3.5
-    df_wide_hz = df_wide * cfg.fs
-    slope_res_hz = slope_res * (float(cfg.fs) * float(cfg.fs))
-    wide_jump = (jnp.abs(df_wide_hz) > cfg.fine_span_hz) \
-        & tq_ok & jnp.logical_not(retune)
-    # fold in the block-END residual, not the block average: df measures
-    # the average, which under a residual ramp e lags the end frequency
-    # by e*T/2 — folding the average alone hands a -e*T/2 error to the
-    # next block and rings a period-2 limit cycle with the slope tracker
-    end_corr = jnp.where(tq_ok, 0.5 * slope_res_hz * T_blk, 0.0)
-    freq = freq + state.slope * T_blk \
-        + jnp.where(retune, 0.0,
-                    jnp.where(wide_jump, df_wide_hz, df * cfg.fs)
-                    + end_corr)
-    # slope tracker (block-rate): the segment fit measures the RESIDUAL
-    # ramp directly; a 0.7 gain converges in a few blocks.  No lock is
-    # required (ramp acquisition happens while mse is still ~1), but the
-    # noise leak bounds the tracker when tones vanish, and the update is
-    # clamped so one bad fit cannot fling it.
-    slope = state.slope + jnp.where(
-        tq_ok, jnp.clip(0.7 * slope_res_hz, -80.0, 80.0), 0.0)
-    slope = jnp.where(tq_ok | locked, slope, 0.9 * slope)
-    slope = jnp.clip(slope, -400.0, 400.0)
+    freq, slope, wide_jump, tq_ok = _doppler_fold(
+        state.slope, freq, retune, locked, df, df_wide, slope_res, tq,
+        cfg.fs, T_blk, cfg.fine_span_hz, clamp_hzps=80.0, slope_max=400.0)
     theta_next = jnp.mod(theta + 2.0 * jnp.pi * df * L, 2.0 * jnp.pi)
     have_refs = jnp.logical_not(retune | wide_jump)
     # the signal level at the new tune is unrelated to the old one: restart
@@ -506,7 +536,7 @@ def msk_step(state: MskState, samples, cfg: MskConfig):
         "slope": slope,
         "coarse_offset": dfc,
         "fine_offset": df * cfg.fs,
-        "wide_offset": df_wide_hz,
+        "wide_offset": df_wide * cfg.fs,
         "track_quality": tq,
         "tone_quality": quality,
         "signal": locked,

@@ -36,7 +36,8 @@ from aero_tpu.ops import (nco_init, nco_mix, fir_init, fir_apply,
                           root_raised_cosine, block_agc)
 from aero_tpu.ops.fir import fir_apply_fft
 from aero_tpu.models.coarse_freq import coarse_freq_init, coarse_freq_estimate
-from aero_tpu.models.msk import _tone_pair_sync, _segment_slope_track
+from aero_tpu.models.msk import (_doppler_fold, _segment_slope_track,
+                                 _timing_track, _tone_pair_sync)
 
 
 class OqpskState(NamedTuple):
@@ -227,27 +228,14 @@ def oqpsk_step(state: OqpskState, samples, cfg: OqpskConfig):
                          cand[0], cand[1])
     grid_acq = grid_acq - jnp.round((grid_acq - state.grid) / (2.0 * step)) * (2.0 * step)
 
-    # second-order timing (alpha-beta on grid + drift rate; see msk.py):
-    # at 10500 bps the strobe interval is only 4.57 samples, so the old
+    # second-order timing (shared alpha-beta loop, models/msk.py): at
+    # 10500 bps the strobe interval is only 4.57 samples, so the old
     # first-order loop's 2x-per-block-drift lag was most of an interval
-    # under a 100 ppm clock offset
+    # under a 100 ppm clock offset; renormalizations are reported as
+    # slips for host realignment
     tracking = state.have_lock_refs & (state.mse < cfg.signal_threshold)
-    pred = state.grid + state.grid_rate
-    delta = jnp.mod(g_raw - pred + step / 2.0, step) - step / 2.0
-    grid_track = pred + 0.5 * delta
-    rate_max = 300e-6 * L
-    grid_rate = jnp.where(tracking,
-                          state.grid_rate + 0.25 * delta,
-                          0.95 * state.grid_rate)
-    grid_rate = jnp.clip(grid_rate, -rate_max, rate_max)
-    grid = jnp.where(tracking, grid_track, grid_acq)
-    # renormalization = a bit-pair slip in the output stream; report it
-    # so the host realigns instead of relocking (see models/msk.py)
-    slip = jnp.where(tracking & (grid < -0.5 * step), jnp.int32(1),
-                     jnp.where(tracking & (grid >= 2.5 * step),
-                               jnp.int32(-1), jnp.int32(0)))
-    grid = jnp.where(grid < -0.5 * step, grid + 2.0 * step,
-                     jnp.where(grid >= 2.5 * step, grid - 2.0 * step, grid))
+    grid, grid_rate, slip = _timing_track(
+        state.grid, state.grid_rate, g_raw, step, tracking, L, grid_acq)
 
     pt_i, pt_q = pair_points(grid)
 
@@ -280,20 +268,11 @@ def oqpsk_step(state: OqpskState, samples, cfg: OqpskConfig):
     coarse_y = jnp.where(retune, jnp.full_like(coarse_y, 20.0), coarse_y)
     # Doppler-ramp fold-in + block-rate slope tracker (see models/msk.py
     # for the derivation of the tq gate and the block-END residual)
-    tq_ok = tq > 3.5
-    df_wide_hz = df_wide * cfg.fs
-    slope_res_hz = slope_res * (float(cfg.fs) * float(cfg.fs))
-    wide_jump = (jnp.abs(df_wide_hz) > cfg.fine_span_hz) \
-        & tq_ok & jnp.logical_not(retune)
-    end_corr = jnp.where(tq_ok, 0.5 * slope_res_hz * T_blk, 0.0)
-    freq = freq + state.slope * T_blk \
-        + jnp.where(retune, 0.0,
-                    jnp.where(wide_jump, df_wide_hz, df * cfg.fs)
-                    + end_corr)
-    slope = state.slope + jnp.where(
-        tq_ok, jnp.clip(0.7 * slope_res_hz, -160.0, 160.0), 0.0)
-    slope = jnp.where(tq_ok | locked, slope, 0.9 * slope)
-    slope = jnp.clip(slope, -800.0, 800.0)
+    # Doppler-ramp fold-in + slope tracker, shared with MSK (the C-band
+    # clamps are 2x the L-band ones — 2.4x the Doppler rates)
+    freq, slope, wide_jump, tq_ok = _doppler_fold(
+        state.slope, freq, retune, locked, df, df_wide, slope_res, tq,
+        cfg.fs, T_blk, cfg.fine_span_hz, clamp_hzps=160.0, slope_max=800.0)
     theta_next = jnp.mod(theta + 2.0 * jnp.pi * df * L, 2.0 * jnp.pi)
     have_refs = jnp.logical_not(retune | wide_jump)
     # restart the AGC carry at the new tune (see models/msk.py)
@@ -309,7 +288,7 @@ def oqpsk_step(state: OqpskState, samples, cfg: OqpskConfig):
         "slope": slope,
         "coarse_offset": dfc,
         "fine_offset": df * cfg.fs,
-        "wide_offset": df_wide_hz,
+        "wide_offset": df_wide * cfg.fs,
         "track_quality": tq,
         "tone_quality": quality,
         "signal": locked,

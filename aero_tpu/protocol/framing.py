@@ -372,7 +372,13 @@ class PChannelFramer:
         (measured under ±100 ppm clock offset); dropping lock immediately
         re-finds the shifted UW within the buffered stream instead."""
         max_uw_err = self.uw_tolerance + (0 if not self.phase_invariant else 2)
-        hard_lost = uw_errors >= max(6, len(self._uw_pattern) // 4)
+        # threshold n/3: a misaligned (slipped) UW folds to ~0.43n errors,
+        # so slips still trip it, while a deep-but-aligned fade would need
+        # hard-bit BER ~0.25 to reach n/3 by noise — beyond Viterbi's
+        # working range anyway, so decodable fades keep riding the DCD
+        # hysteresis instead of being dropped (slips are normally already
+        # absorbed upstream by apply_slip; this is the fallback)
+        hard_lost = uw_errors >= max(8, len(self._uw_pattern) // 3)
         if hard_lost or (uw_errors > max_uw_err and not self.dcd):
             self.locked = False
 

@@ -44,7 +44,10 @@ import numpy as np
 import jax
 
 
-FORMAT_VERSION = 2
+# v3: round-5 demod states gained slope/grid_rate carries (Doppler and
+# sample-clock tracking) — a version bump gives older checkpoints a
+# clear error instead of a confusing leaf-count mismatch
+FORMAT_VERSION = 3
 
 # the only classes a checkpoint's reassembly blobs may instantiate
 _ALLOWED_CLASSES = {
@@ -204,9 +207,19 @@ def _atomic_savez(path: str, entries: dict) -> None:
     means a crash mid-write (the very scenario checkpoints exist for)
     can never leave a truncated archive as the only copy."""
     tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        np.savez_compressed(f, **entries)
-    os.replace(tmp, path)
+    try:
+        with open(tmp, "wb") as f:
+            np.savez_compressed(f, **entries)
+            f.flush()
+            os.fsync(f.fileno())     # data durable BEFORE the rename, so
+            # a power loss cannot persist the rename without the bytes
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)           # don't strand .tmp litter on ENOSPC
+        except OSError:
+            pass
+        raise
 
 
 def load_residual(path: str) -> np.ndarray:

@@ -114,27 +114,28 @@ def main(argv=None) -> int:
             voice_f.write(data)
             voice_f.flush()
 
-    if args.backend == "fused":
-        from aero_tpu.runtime.fused_station import FusedStation
-        st = FusedStation(cfg, on_acars=on_acars, on_voice=on_voice,
-                          station_id=args.station_id,
-                          ingest_dtype=args.ingest_dtype,
-                          aircraft_db=args.aircraft_db,
-                          hunt=not args.no_hunt,
-                          batch_host_framing=args.batch_framing)
-        B = st.block_len
-    else:
+    def mk_station():
+        if args.backend == "fused":
+            from aero_tpu.runtime.fused_station import FusedStation
+            return FusedStation(cfg, on_acars=on_acars, on_voice=on_voice,
+                                station_id=args.station_id,
+                                ingest_dtype=args.ingest_dtype,
+                                aircraft_db=args.aircraft_db,
+                                hunt=not args.no_hunt,
+                                batch_host_framing=args.batch_framing)
         n_vfos = len(cfg.mains) + len(cfg.subs)
         if n_vfos > 8:
             print(f"warning: --backend {args.backend} is the classic "
                   f"comparison shape (~1.9x real time measured on the "
                   f"26-VFO 54degW bank); {n_vfos} VFOs may not keep up — "
                   f"the default fused backend runs 30x+", file=sys.stderr)
-        st = Station(cfg, on_acars=on_acars, on_voice=on_voice,
-                     station_id=args.station_id, backend=args.backend,
-                     aircraft_db=args.aircraft_db,
-                     hunt=not args.no_hunt)
-        B = cfg.buflen_complex
+        return Station(cfg, on_acars=on_acars, on_voice=on_voice,
+                       station_id=args.station_id, backend=args.backend,
+                       aircraft_db=args.aircraft_db,
+                       hunt=not args.no_hunt)
+
+    st = mk_station()
+    B = st.block_len if args.backend == "fused" else cfg.buflen_complex
     initial_carry = np.zeros(0, np.complex64)
     if args.checkpoint and os.path.exists(args.checkpoint):
         # a truncated/incompatible checkpoint must not crash-loop the
@@ -151,6 +152,10 @@ def main(argv=None) -> int:
             print(json.dumps({"checkpoint_load_failed": str(e),
                               "action": "starting fresh"}),
                   file=sys.stderr, flush=True)
+            # a failed load can leave the station HALF-restored (device
+            # state assigned before a later framer blob raised): rebuild
+            # so "starting fresh" means what it says
+            st = mk_station()
     last_ckpt = time.time()
     last_stats = time.time()
 

@@ -36,11 +36,14 @@ Pallas Viterbi optimum (26: 9.7, 52: 14.5, 104: 9.1 Gbit/s).
 
 Round-5 note: the demodulators gained Doppler-ramp and sample-clock
 tracking (segmented tone fit + chirp derotation + 2nd-order timing;
-models/msk.py).  The first cut cost ~15-20% of demod throughput (a
-second full-block complex exp for the chirp); fusing the chirp into
-nco_mix's existing exp recovered it (same-day A/B: pfb chain 8.9 ->
-10.6 GS/s best, demod 16.0 -> 19.6 GS/s) — the added tracking is now
-approximately free.
+models/msk.py).  The first cut paid a second full-block complex exp +
+multiply per VFO per block for the chirp; it now rides inside
+nco_mix's existing exp (extra_cycles) in BOTH modems, so the added
+tracking costs adds and one small segment-DFT einsum.  Same-day runs
+before/after the tracking landed differ by less than the tunnel's
+service swing (calibration medians moved 547 -> 439 -> 622 GFLOP/s
+across those runs), so attribute cross-run deltas to the calibration
+row, not the demod code.
 """
 
 import json
@@ -380,7 +383,7 @@ def bench_fused_station(B=50, n_iter=16, ingest="int4", blocks_per_step=8):
             for k, v in m.items()}, B
 
 
-def bench_fused_station_latency(B=50, n_msgs=16):
+def bench_fused_station_latency(B=50, n_msgs=24):
     """END-TO-END LATENCY: wideband-sample arrival -> ACARS emit, real-time
     paced (VERDICT r4 item 6).  A real receiver has a latency budget, not
     just a throughput one, and the fused station's multi-block dispatch
@@ -636,7 +639,8 @@ def main():
                   f"{p99_tp:.0f} ms ingest->ACARS at blocks_per_step=8 "
                   f"depth=2 (throughput shape); p50 {p50_lo:.0f} ms / p99 "
                   f"{p99_lo:.0f} ms at blocks_per_step=1 depth=0 (latency "
-                  f"shape; {lat['n']} msgs, real-time paced, 50 VFOs)",
+                  f"shape; {lat['n']} msgs, real-time paced, 50 VFOs; "
+                  f"p99 = worst observed at this sample count)",
                   file=sys.stderr)
             extras["latency_bps8_p50_ms"] = round(p50_tp, 1)
             extras["latency_bps8_p99_ms"] = round(p99_tp, 1)

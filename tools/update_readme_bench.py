@@ -160,7 +160,7 @@ def rewrite(readme: str, d: dict, label: str, partial: bool = False) -> str:
         row(r"\| Ingest→ACARS latency, throughput shape[^|]*\|[^|]*\|[^|]*\|[^|]*\|",
             f"| Ingest→ACARS latency, throughput shape (blocks_per_step=8, "
             f"depth=2) | p50 {ms(p50t)} | p99 {ms(p99t)} | real-time paced, "
-            f"50 VFOs |")
+            f"50 VFOs; p99 = worst observed |")
         row(r"\| Ingest→ACARS latency, latency shape[^|]*\|[^|]*\|[^|]*\|[^|]*\|",
             f"| Ingest→ACARS latency, latency shape (blocks_per_step=1, "
             f"depth=0) | p50 {ms(p50l)} | p99 {ms(p99l)} | drains every "
