@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from aero_tpu.protocol.framing import PChannelFramer
+from aero_tpu.protocol.framing import PChannelFramer, apply_slip
 from aero_tpu.protocol.su_dispatch import PChannelSUDispatcher
 from aero_tpu.io.output import to_output_format
 from aero_tpu.io.forwarder import (AsyncForwardQueue, ForwardTarget,
@@ -188,7 +188,6 @@ class Decoder:
             return
         # realign on timing-grid slips (sample-clock offset) before any
         # continuous-channel deframer sees the stream
-        from aero_tpu.protocol.framing import apply_slip
         soft = apply_slip(soft.astype(np.float32), int(out.get("slip", 0)))
         if self.c_framer is not None:
             for ev in self.c_framer.feed(soft):

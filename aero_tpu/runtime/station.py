@@ -25,7 +25,7 @@ import numpy as np
 
 from aero_tpu.channelizer import ChannelizerConfig, Channelizer
 from aero_tpu.parallel.vfo_bank import MskVfoBank, OqpskVfoBank
-from aero_tpu.protocol.framing import PChannelFramer
+from aero_tpu.protocol.framing import PChannelFramer, apply_slip
 from aero_tpu.protocol.su_dispatch import PChannelSUDispatcher
 from aero_tpu.runtime.hunter import SignalHunter
 
@@ -251,7 +251,6 @@ class Station:
                 signal = np.asarray(out["signal"])
                 slips = np.asarray(out["slip"])
                 retune_rows, retune_freqs = [], []
-                from aero_tpu.protocol.framing import apply_slip
                 for row, t in enumerate(topics):
                     account_framer_events(
                         self.stats, key[1],
