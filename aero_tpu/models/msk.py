@@ -409,8 +409,14 @@ def msk_step(state: MskState, samples, cfg: MskConfig):
         # strobe spacing scaled by the tracked RX/TX sample-clock ratio
         # (grid_rate samples of drift per block): under a +-100 ppm
         # clock offset the within-block timing error otherwise reaches
-        # a large fraction of a strobe interval at the block edges
-        pos = g + m * (2.0 * sps) * (1.0 + state.grid_rate / L)
+        # a large fraction of a strobe interval at the block edges.
+        # The window sits ONE pair-interval in the past (m-1): with the
+        # grid near the top of its legal range the last position would
+        # otherwise run past the interpolation context (which holds only
+        # past samples) and clamp — a systematically corrupted final bit
+        # pair per block.  A uniform one-pair delay is invisible to the
+        # shift-invariant UW deframers.
+        pos = g + (m - 1.0) * (2.0 * sps) * (1.0 + state.grid_rate / L)
         return interp(ctx, pos + TAIL), interp(ctx, pos + TAIL - sps)
 
     # timing grid: t0 gives the grid mod sps; the arm parity (mod 2*sps) is

@@ -194,10 +194,14 @@ def oqpsk_step(state: OqpskState, samples, cfg: OqpskConfig):
         return sig[i0] * (1.0 - w) + sig[i0 + 1] * w
 
     def pair_points(g):
-        """Q strobes at g + m*2*step, I strobes half a symbol later —
-        spacing scaled by the tracked RX/TX clock ratio (see msk.py)."""
+        """Q strobes at g + (m-2)*2*step, I strobes half a symbol later —
+        spacing scaled by the tracked RX/TX clock ratio, window two
+        pair-intervals in the past so the final I strobe never runs off
+        the interpolation context (see models/msk.py strobes; the step
+        here is only 4.57 samples at 10500, so without the shift most
+        grid positions clamped the last strobe)."""
         scale = 1.0 + state.grid_rate / L
-        pos_q = g + m * (2.0 * step) * scale
+        pos_q = g + (m - 2.0) * (2.0 * step) * scale
         pos_i = pos_q + step * scale
         q = interp(ctx, pos_q + TAIL).imag
         i = interp(ctx, pos_i + TAIL).real
@@ -266,8 +270,6 @@ def oqpsk_step(state: OqpskState, samples, cfg: OqpskConfig):
         & (jnp.logical_not(locked) | stuck)
     freq = jnp.where(retune, state.freq + dfc, state.freq)
     coarse_y = jnp.where(retune, jnp.full_like(coarse_y, 20.0), coarse_y)
-    # Doppler-ramp fold-in + block-rate slope tracker (see models/msk.py
-    # for the derivation of the tq gate and the block-END residual)
     # Doppler-ramp fold-in + slope tracker, shared with MSK (the C-band
     # clamps are 2x the L-band ones — 2.4x the Doppler rates)
     freq, slope, wide_jump, tq_ok = _doppler_fold(

@@ -208,14 +208,22 @@ class BatchPChannelFramerBank:
                 for k, (i, pre) in enumerate(items):
                     out[t].append(f._finish_frame(
                         pre, bits_to_bytes_lsb(info_bits[i]), su_ok[i]))
-                    if not f.locked and k + 1 < len(items):
-                        # lock lost: un-consume the later frames and
-                        # re-run the UW search over them + the buffer
-                        tail = [p["raw"] for _, p in items[k + 1:]]
-                        f.buf = np.concatenate(tail + [f.buf])
+                    if not f.locked:
+                        # lock lost at finish time: un-consume the later
+                        # frames AND re-expose the lock-losing frame's
+                        # trailing UW region (the sequential feed() does
+                        # this on its lock-loss path, framing.py — a
+                        # timing slip shifts the boundary a few bits and
+                        # relock must land on the SHIFTED UW, not a
+                        # whole frame later), then re-run the UW search
+                        kk = len(f._uw_pattern) + 16
+                        later = [p["raw"] for _, p in items[k + 1:]]
+                        f.buf = np.concatenate(
+                            [pre["raw"][-kk:]] + later + [f.buf])
                         evs = f.feed(np.zeros(0, np.float32))
                         assert not evs
-                        rewound = True
-                        break
+                        if later:
+                            rewound = True
+                            break
             if not rewound:
                 return out

@@ -105,9 +105,13 @@ class CChannelFramer:
                 best = (int(hits[0]), np.array([f0, f1], np.int32))
         return best
 
-    def feed(self, soft_bytes: np.ndarray) -> list[CFrameEvent]:
+    def feed(self, soft_bytes: np.ndarray,
+             slip: int = 0) -> list[CFrameEvent]:
+        """Feed one demod block; ``slip`` realigns a timing-grid
+        renormalization at the framer boundary (see PChannelFramer.feed)."""
+        from aero_tpu.protocol.framing import apply_slip
         self.buf = np.concatenate([self.buf,
-                                   np.asarray(soft_bytes, np.float32)])
+                                   apply_slip(soft_bytes, slip)])
         events = []
         while True:
             if not self.locked:

@@ -241,9 +241,14 @@ class PChannelFramer:
         out[n - 1:] = errs
         return out
 
-    def feed(self, soft_bytes: np.ndarray) -> list[FrameEvent]:
+    def feed(self, soft_bytes: np.ndarray, slip: int = 0) -> list[FrameEvent]:
+        """Feed one demod block's soft bytes.  Pass the demod's
+        ``out["slip"]`` so a timing-grid renormalization is realigned
+        HERE, at the boundary every consumer must cross — forgetting it
+        at a call site would silently reintroduce one lost frame per
+        renormalization."""
         self.buf = np.concatenate(
-            [self.buf, np.asarray(soft_bytes, dtype=np.float32)])
+            [self.buf, apply_slip(soft_bytes, slip)])
         events = []
         while True:
             if not self.locked:

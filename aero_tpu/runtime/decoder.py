@@ -186,11 +186,11 @@ class Decoder:
                     print(ev.display)
             self.hunter.update_dcd(bool(out["signal"]))
             return
-        # realign on timing-grid slips (sample-clock offset) before any
-        # continuous-channel deframer sees the stream
-        soft = apply_slip(soft.astype(np.float32), int(out.get("slip", 0)))
+        # timing-grid slips are realigned at the framer boundary
+        soft = soft.astype(np.float32)
+        slip = int(out.get("slip", 0))
         if self.c_framer is not None:
-            for ev in self.c_framer.feed(soft):
+            for ev in self.c_framer.feed(soft, slip=slip):
                 if self.opts.verbose:
                     for su, ok, name in ev.signalling:
                         if ok and name != "Fill_in_signal_unit":
@@ -198,7 +198,7 @@ class Decoder:
                                   f"{su[:10].hex().upper()}")
             self.hunter.update_dcd(self.c_framer.locked)
             return
-        for ev in self.framer.feed(soft):
+        for ev in self.framer.feed(soft, slip=slip):
             for k, ok in enumerate(ev.su_crc_ok):
                 if ok:
                     line = self.dispatcher.dispatch(

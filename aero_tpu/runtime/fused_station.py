@@ -60,7 +60,7 @@ from aero_tpu.channelizer.config import ChannelizerConfig
 from aero_tpu.channelizer.pfb import (pfb_channelize, pfb_channelize_fused,
                                       pfb_bin_for_freq)
 from aero_tpu.ops.compat import tree_pack, tree_unpack, unpack_c64, pack_c64
-from aero_tpu.protocol.framing import PChannelFramer
+from aero_tpu.protocol.framing import PChannelFramer, apply_slip
 from aero_tpu.protocol.c_framing import CChannelFramer
 from aero_tpu.protocol.su_dispatch import PChannelSUDispatcher
 from aero_tpu.runtime.station import (StationStats, account_framer_events,
@@ -593,7 +593,6 @@ class FusedStation:
         self.stats.wall_seconds += time.perf_counter() - t0
 
     def _drain(self, packed):
-        from aero_tpu.protocol.framing import apply_slip
         rows = np.asarray(packed)
         for row in rows:
             soft = row[: self._soft_total]
@@ -620,7 +619,8 @@ class FusedStation:
                 slips = self.telemetry[t0 + 4 * nb: t0 + 5 * nb]
                 if key in self._batch_banks:
                     # one batched device decode for the whole group's
-                    # pending frames
+                    # pending frames (the bank API takes plain arrays, so
+                    # slips are realigned here rather than in feed())
                     evs_by_topic = self._batch_banks[key].feed(
                         {topic: apply_slip(sb[r], int(slips[r]))
                          for r, topic in enumerate(self.topics[key])})
@@ -631,8 +631,8 @@ class FusedStation:
                 for r, topic in enumerate(self.topics[key]):
                     account_framer_events(
                         self.stats, rate,
-                        self.framers[topic].feed(
-                            apply_slip(sb[r], int(slips[r]))),
+                        self.framers[topic].feed(sb[r].astype(np.float32),
+                                                 slip=int(slips[r])),
                         self.dispatchers.get(topic))
 
     # ---- checkpoint/resume (runtime/checkpoint.py) ----

@@ -25,7 +25,7 @@ import numpy as np
 
 from aero_tpu.channelizer import ChannelizerConfig, Channelizer
 from aero_tpu.parallel.vfo_bank import MskVfoBank, OqpskVfoBank
-from aero_tpu.protocol.framing import PChannelFramer, apply_slip
+from aero_tpu.protocol.framing import PChannelFramer
 from aero_tpu.protocol.su_dispatch import PChannelSUDispatcher
 from aero_tpu.runtime.hunter import SignalHunter
 
@@ -255,7 +255,8 @@ class Station:
                     account_framer_events(
                         self.stats, key[1],
                         self.framers[t].feed(
-                            apply_slip(soft[row], int(slips[row]))),
+                            soft[row].astype(np.float32),
+                            slip=int(slips[row])),
                         self.dispatchers.get(t))
                     h = self.hunters.get(t)
                     if h is not None:

@@ -470,9 +470,19 @@ def bench_fused_station_latency(B=50, n_msgs=24):
                 lats[k] = time.perf_counter() - arrive[need_block[k]]
 
         st.on_acars = on_acars
-        # warm the compile outside the paced loop
-        st.process(np.zeros(blk_len, np.complex64))
+        # warm EVERY step shape the paced loop will use outside the
+        # timed region: the full blocks_per_step batch AND the flush
+        # remainder (FusedStation jits one program per batch size m, so
+        # an unwarmed shape would compile inside the real-time-paced
+        # loop and the published latency would measure compile time)
+        for _ in range(blocks_per_step):
+            st.process(np.zeros(blk_len, np.complex64))
         st.flush()
+        rem = len(blocks) % blocks_per_step
+        if rem:
+            for _ in range(rem):
+                st.process(np.zeros(blk_len, np.complex64))
+            st.flush()
         t_start = time.perf_counter()
         for i, b in enumerate(blocks):
             target = t_start + (i + 1) * block_dur   # block fully arrived

@@ -88,14 +88,13 @@ def _msk_stream(n_fields, snr=20.0, seed=1):
 
 
 def _feed_with_slip(outs, framer):
-    """Feed demod block outputs through a framer with the same slip
-    realignment every runtime consumer applies (decoder.py, station.py,
-    fused_station._drain)."""
-    from aero_tpu.protocol.framing import apply_slip
+    """Feed demod block outputs through a framer, passing the slip flag
+    the way every runtime consumer does — realignment happens INSIDE
+    framer.feed (protocol/framing.py)."""
     evs = []
     for o in outs:
-        evs += framer.feed(apply_slip(o["soft_bits"].astype(np.float32),
-                                      int(o["slip"])))
+        evs += framer.feed(o["soft_bits"].astype(np.float32),
+                           slip=int(o["slip"]))
     return evs
 
 
