@@ -247,6 +247,21 @@ def _segment_slope_track(y, fb_norm, span_cyc, S):
     return a_mid / 2.0, b / 2.0, quality
 
 
+def _chirp_cycles(slope, fs, L):
+    """Per-sample chirp phase (cycles) for the carried CFO slope, plus
+    the end-of-block phase to fold into the NCO carry.
+
+    0.5*s*n^2 is built by cumsum — n^2 overflows the float32 mantissa at
+    n=16000 — and the float() guards matter because cfg.fs may arrive as
+    a Python int whose square overflows the int32 JAX would parse."""
+    slope_cps2 = slope / (float(fs) * float(fs))
+    n_all = jnp.arange(L, dtype=jnp.float32)
+    inc = slope_cps2 * (n_all + 0.5)
+    chirp_cyc = jnp.cumsum(inc) - inc
+    chirp_end = (0.5 * L) * (slope_cps2 * L)
+    return chirp_cyc, chirp_end
+
+
 def _doppler_fold(prev_slope, freq, retune, locked, df, df_wide, slope_res,
                   tq, fs, T_blk, fine_span_hz, clamp_hzps, slope_max):
     """Shared Doppler fold-in + slope tracker (block rate; MSK and OQPSK
@@ -333,22 +348,15 @@ def msk_step(state: MskState, samples, cfg: MskConfig):
     #    The slope estimate is an alpha-beta tracker at BLOCK rate — still
     #    no per-sample feedback anywhere.
     fnorm = state.freq / cfg.fs
-    # float() guards: cfg.fs may arrive as a Python int, and fs^2 at 48 kHz
-    # overflows the int32 JAX would parse it as
-    slope_cps2 = state.slope / (float(cfg.fs) * float(cfg.fs))
-    n_all = jnp.arange(L, dtype=jnp.float32)
-    # 0.5*s*n^2 via cumsum (n^2 overflows float32 mantissa at n=16000);
     # the chirp rides INSIDE the mixer's exp (nco_mix extra_cycles) so
-    # Doppler derotation costs adds, not a second complex exp+multiply
-    inc = slope_cps2 * (n_all + 0.5)
-    chirp_cyc = jnp.cumsum(inc) - inc
-    nco_phase, bb = nco_mix(state.nco_phase, x.astype(jnp.complex64), fnorm,
-                            conj=True, extra_cycles=chirp_cyc)
+    # Doppler derotation costs adds, not a second complex exp+multiply;
     # continuity: the chirp adds 0.5*s*L^2 cycles by block end, and the
     # instantaneous mix frequency ends at freq + slope*T_blk
-    chirp_end = (0.5 * L) * (slope_cps2 * L)
+    chirp_cyc, chirp_end = _chirp_cycles(state.slope, cfg.fs, L)
+    nco_phase, bb = nco_mix(state.nco_phase, x.astype(jnp.complex64), fnorm,
+                            conj=True, extra_cycles=chirp_cyc)
     nco_phase = jnp.mod(nco_phase + chirp_end, 1.0)
-    T_blk = L / cfg.fs
+    T_blk = L / float(cfg.fs)
 
     # 2. coarse CFO estimate (drives retunes while unlocked)
     coarse_y, dfc = coarse_freq_estimate(

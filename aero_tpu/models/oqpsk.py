@@ -36,7 +36,8 @@ from aero_tpu.ops import (nco_init, nco_mix, fir_init, fir_apply,
                           root_raised_cosine, block_agc)
 from aero_tpu.ops.fir import fir_apply_fft
 from aero_tpu.models.coarse_freq import coarse_freq_init, coarse_freq_estimate
-from aero_tpu.models.msk import (_doppler_fold, _segment_slope_track,
+from aero_tpu.models.msk import (_chirp_cycles, _doppler_fold,
+                                 _segment_slope_track,
                                  _timing_track, _tone_pair_sync)
 
 
@@ -131,16 +132,11 @@ def oqpsk_step(state: OqpskState, samples, cfg: OqpskConfig):
     x = jnp.asarray(samples, jnp.float32)
 
     fnorm = state.freq / cfg.fs
-    # chirp-derotate by the carried CFO slope (Doppler-ramp tracking;
-    # same block-rate tracker as models/msk.py — see the notes there);
-    # the chirp rides inside the mixer's exp (nco_mix extra_cycles)
-    slope_cps2 = state.slope / (float(cfg.fs) * float(cfg.fs))
-    n_all = jnp.arange(L, dtype=jnp.float32)
-    inc = slope_cps2 * (n_all + 0.5)
-    chirp_cyc = jnp.cumsum(inc) - inc
+    # chirp-derotate by the carried CFO slope (Doppler-ramp tracking,
+    # shared with MSK; the chirp rides inside the mixer's exp)
+    chirp_cyc, chirp_end = _chirp_cycles(state.slope, cfg.fs, L)
     nco_phase, bb = nco_mix(state.nco_phase, x.astype(jnp.complex64), fnorm,
                             conj=True, extra_cycles=chirp_cyc)
-    chirp_end = (0.5 * L) * (slope_cps2 * L)
     nco_phase = jnp.mod(nco_phase + chirp_end, 1.0)
     T_blk = L / float(cfg.fs)
 
