@@ -83,7 +83,7 @@ def make_config(fs: float, fb: float, block_len: int = 16000,
                 signal_threshold: float = 0.5, nfft: int = 8192,
                 fine_span_hz: float | None = None,
                 fine_step_hz: float = 0.25,
-                track_span_hz: float = 120.0,
+                track_span_hz: float = 200.0,
                 track_segments: int = 8) -> MskConfig:
     sps = int(fs / fb)
     assert block_len % (2 * sps) == 0
@@ -244,6 +244,15 @@ def _segment_slope_track(y, fb_norm, span_cyc, S):
     peak = jnp.take_along_axis(score, best[..., None], axis=-1)[..., 0]
     par = peak / jnp.maximum(jnp.mean(score, axis=-1), 1e-9)
     quality = jnp.sum(w * par, axis=-1)
+    # a REAL residual ramp lies on a tight line through the segments
+    # (sub-bin scatter after peak interpolation); structured garbage —
+    # e.g. spectral junk lighting random grid bins while the true tones
+    # sit outside the span during acquisition — scatters widely.  Zero
+    # the quality then, so the slope tracker and wide fold-in ignore
+    # the measurement instead of being flung by it.
+    fitted = ym + b[..., None] * (x - xm)
+    resid = jnp.sqrt(jnp.sum(w * (nu_s - fitted) ** 2, axis=-1))
+    quality = jnp.where(resid < 4.0 * (0.5 / T), quality, 0.0)
     return a_mid / 2.0, b / 2.0, quality
 
 
