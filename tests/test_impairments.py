@@ -26,8 +26,8 @@ a real regression fails the test):
                   residual gate + slip realignment; 200 Hz/s -> 51/56);
                   ppm +-100/200/500 -> LOSSLESS 28/28; phase noise
                   5 mrad/sample -> 16/16, 10 mrad -> lost
-  OQPSK 10500 @48k: ramp 60/120/240 Hz/s -> 117-119/120 (240 Hz/s is
-                  2.4x the L-band scale — the harsher C-band case);
+  OQPSK 10500 @48k: ramp 240 Hz/s -> LOSSLESS 120/120 (2.4x the
+                  L-band scale — the harsher C-band case; 360 degrades);
                   ppm +-100 -> LOSSLESS 60/60 (17 slips realigned;
                   44/60 without); 200 ppm -> lost (per-block drift
                   exceeds half a strobe interval: tracker aliases)
@@ -146,7 +146,7 @@ def test_oqpsk_doppler_ramp_240hzps_62s():
     fields, sig = _oqpsk_stream(120)       # 62 s
     x = impair(sig, 48000, cfo0=-1500.0, ramp=240.0)
     rec = _run_oqpsk(fields, x)
-    assert len(rec) >= 105, len(rec)
+    assert len(rec) >= 112, len(rec)          # measured lossless 120/120
     steady = [i for i in rec if i >= 20]
     assert len(steady) / 100.0 >= 0.9
 
